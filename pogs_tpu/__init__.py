@@ -1,0 +1,75 @@
+"""pogs_tpu — a TPU-native graph-form / cone-form ADMM convex solver.
+
+A from-scratch JAX/XLA/Pallas implementation of the capabilities of POGS
+(Proximal Operator Graph Solver, Fougner & Boyd).  It solves problems in
+*graph form*
+
+    minimize    f(y) + g(x)       (f, g separable)
+    subject to  y = A x
+
+via ADMM with closed-form proximal operators, and in *cone form*
+
+    minimize    c'x (+ 1/2 x'Px)
+    subject to  b - A x in K_y,  x in K_x
+
+via the same ADMM loop or a homogeneous self-dual embedding (HSDE).
+
+Design: the whole solve is one jit-compiled ``lax.while_loop`` over a pytree
+state — no host round-trips inside the loop.  Dense linear algebra rides the
+MXU; elementwise prox stages are fused by XLA (with Pallas kernels for the
+hottest fusions); multi-chip scaling uses ``jax.sharding`` meshes with
+XLA collectives.
+
+Reference parity: feature surface of /root/reference (foges/pogs); see
+docstrings for file:line citations.
+"""
+
+from pogs_tpu.types import (
+    Function,
+    FunctionObj,
+    FunctionVector,
+    Cone,
+    ConeConstraint,
+    Status,
+    SolverSettings,
+    SolverResult,
+)
+from pogs_tpu.prox import prox_eval, func_eval, proj_subgrad_eval
+from pogs_tpu.solver import SolverState, admm_solve, GraphFormSolver
+from pogs_tpu.api.graph import (
+    solve_graph_form,
+    solve_lasso,
+    solve_ridge,
+    solve_elastic_net,
+    solve_logistic,
+    solve_huber,
+    solve_svm,
+    solve_nonneg_ls,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Function",
+    "FunctionObj",
+    "FunctionVector",
+    "Cone",
+    "ConeConstraint",
+    "Status",
+    "SolverSettings",
+    "SolverResult",
+    "SolverState",
+    "prox_eval",
+    "func_eval",
+    "proj_subgrad_eval",
+    "admm_solve",
+    "GraphFormSolver",
+    "solve_graph_form",
+    "solve_lasso",
+    "solve_ridge",
+    "solve_elastic_net",
+    "solve_logistic",
+    "solve_huber",
+    "solve_svm",
+    "solve_nonneg_ls",
+]

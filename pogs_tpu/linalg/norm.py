@@ -1,0 +1,41 @@
+"""Spectral-norm estimation by power iteration (equil_helper.h:107-135)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NORM_EST_TOL = 1e-4
+NORM_EST_MAX_ITER = 50
+
+
+def norm2_est(A, tol: float = NORM_EST_TOL, max_iter: int = NORM_EST_MAX_ITER, seed: int = 0):
+    """Estimate ‖A‖₂ with power iteration on AᵀA (MATLAB normest scheme).
+
+    Runs as an on-device ``lax.while_loop`` with relative-change stopping,
+    mirroring Norm2Est in the reference. Deterministic start vector.
+    """
+    m, n = A.shape
+    dt = A.dtype
+    x0 = jax.random.uniform(jax.random.PRNGKey(seed), (n,), dtype=jnp.float32).astype(dt)
+    tol = jnp.asarray(tol, dt)
+
+    def cond(carry):
+        _, norm_est, norm_est_last, i = carry
+        return jnp.logical_and(
+            i < max_iter, jnp.abs(norm_est - norm_est_last) >= tol * norm_est
+        )
+
+    def body(carry):
+        x, norm_est, _, i = carry
+        sx = A @ x
+        x = A.T @ sx
+        normx = jnp.linalg.norm(x)
+        norm_sx = jnp.linalg.norm(sx)
+        x = x / normx
+        return (x, normx / norm_sx, norm_est, i + 1)
+
+    # One unconditional first sweep, then iterate to tolerance.
+    init = body((x0, jnp.asarray(0.0, dt), jnp.asarray(0.0, dt), 0))
+    _, norm_est, _, _ = jax.lax.while_loop(cond, body, init)
+    return norm_est

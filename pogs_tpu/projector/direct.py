@@ -1,0 +1,84 @@
+"""Direct (factorization-based) graph projector.
+
+Counterpart of ProjectorDirect (src/cpu/projector/projector_direct_dense.cpp):
+form the Gram matrix of the smaller dimension once, factor (G + sI) once,
+then each projection is a handful of matvecs.
+
+    m ≥ n (tall):  x = (AᵀA + sI)⁻¹ (s·x0 + Aᵀy0),        y = A x
+    m < n (wide):  w = (AAᵀ + sI)⁻¹ (A x0 − y0),
+                   x = x0 − Aᵀ w,                          y = y0 + s·w
+
+(The wide-case ``y`` identity y0 + s·w follows from Woodbury; the reference
+hardcodes s = 1 there, projector_direct_dense.cpp:128-135 — we keep general
+s.)
+
+TPU-first choice: the per-iteration solve defaults to multiplication by the
+precomputed *explicit inverse* (G + sI)⁻¹ — a single MXU-friendly gemv —
+instead of two sequential triangular solves, which serialize badly on the
+systolic array.  The equilibrated G has unit-scale spectrum and the +sI
+shift bounds the condition number, so the inverse multiply is numerically
+safe for the solver's 1e-4..1e-6 tolerance regime.  ``method='cholesky'``
+keeps the classic two-triangular-solve path for ill-conditioned inputs.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_PRECISION = lax.Precision.HIGHEST
+
+
+def _gram(A, trans: bool):
+    """AᵀA (trans) or AAᵀ, at highest MXU precision."""
+    if trans:
+        return jnp.matmul(A.T, A, precision=_PRECISION)
+    return jnp.matmul(A, A.T, precision=_PRECISION)
+
+
+class DirectProjector:
+    """Stateless-by-construction: ``init`` returns the factor pytree, and
+    ``project`` is a pure function of it (so it can live inside jit/scan)."""
+
+    def __init__(self, method: str = "inverse"):
+        if method not in ("inverse", "cholesky"):
+            raise ValueError(f"unknown direct method {method!r}")
+        self.method = method
+
+    def init(self, A, s=1.0):
+        """Factor (G + sI). Returns the solve-operator pytree."""
+        m, n = A.shape
+        dt = A.dtype
+        tall = m >= n
+        G = _gram(A, trans=tall)
+        K = G + jnp.asarray(s, dt) * jnp.eye(G.shape[0], dtype=dt)
+        L = jnp.linalg.cholesky(K)
+        if self.method == "inverse":
+            # SPD inverse via the Cholesky factor (never LU): K⁻¹ = L⁻ᵀ L⁻¹.
+            eye = jnp.eye(G.shape[0], dtype=dt)
+            Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+            op = jnp.matmul(Linv.T, Linv, precision=_PRECISION)
+        else:
+            op = L
+        return {"op": op, "s": jnp.asarray(s, dt)}
+
+    def _solve(self, factor, rhs):
+        if self.method == "inverse":
+            return jnp.matmul(factor["op"], rhs, precision=_PRECISION)
+        return jax.scipy.linalg.cho_solve((factor["op"], True), rhs)
+
+    def project(self, A, factor, x0, y0, tol=None, x_warm=None):
+        """Project (x0, y0) onto {(x, y) : y = A x}. tol/x_warm unused here."""
+        m, n = A.shape
+        s = factor["s"]
+        if m >= n:
+            rhs = s * x0 + jnp.matmul(A.T, y0, precision=_PRECISION)
+            x = self._solve(factor, rhs)
+            y = jnp.matmul(A, x, precision=_PRECISION)
+        else:
+            rhs = jnp.matmul(A, x0, precision=_PRECISION) - y0
+            w = self._solve(factor, rhs)
+            x = x0 - jnp.matmul(A.T, w, precision=_PRECISION)
+            y = y0 + s * w
+        return x, y

@@ -1,0 +1,376 @@
+"""Graph-form ADMM core loop — one jitted ``lax.while_loop``, zero host syncs.
+
+TPU-native re-design of PogsImplementation::Solve (src/cpu/pogs.cpp:90-581).
+The reference runs a host-driven loop (every norm syncs device→host on the
+GPU build, §3.4 of SURVEY.md); here the *entire* solve — prox, projection,
+residuals, adaptive ρ, convergence test — is a single compiled while_loop
+over a pytree carry, so an N-iteration solve is one device program.
+
+Algorithmic parity (constants from pogs.cpp:93-110):
+  * over-relaxation α = 1.7 (1.0 in exact-tol/cone mode)
+  * approximate residuals ‖A‖‖Δx‖+‖Δy‖ with exact residuals (2 extra
+    matvecs) only computed when within 10× of tolerance — expressed as a
+    ``lax.cond`` so the taken branch alone executes at runtime
+  * adaptive ρ: spectral (residual-imbalance) update every 50 iters with
+    clamped √imbalance ratio, residual-balancing fallback with xi-damping
+    (pogs.cpp:401-466); ρ changes rescale the scaled dual zt
+  * residual-tied projection tolerance proj_tol = tol_min·min(r,1)^p
+  * exact-tol mode computes residuals in the original (unscaled) space and
+    re-verifies the primal residual post-solve (pogs.cpp:520-564)
+  * implicit warm start: the final complete iterate z is returned for reuse
+
+Layout: z = [x (n) ; y (m)], matching the math; d scales rows (y), e scales
+columns (x).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from pogs_tpu.types import SolverSettings, Status
+
+_PRECISION = lax.Precision.HIGHEST
+
+# Adaptive-rho / over-relaxation constants (pogs.cpp:94-110).
+K_DELTA_MIN = 1.05
+K_GAMMA = 1.01
+K_TAU = 0.8
+K_RHO_MIN = 1e-4
+K_RHO_MAX = 1e4
+K_KAPPA = 0.9
+
+
+class LoopState(NamedTuple):
+    z: jax.Array        # current iterate (projected), length m+n
+    zt: jax.Array       # scaled dual
+    z12: jax.Array      # half-iterate (prox output)
+    zprev: jax.Array    # iterate at loop entry (the last *complete* iterate)
+    rho: jax.Array
+    delta: jax.Array
+    xi: jax.Array
+    kd: jax.Array
+    ku: jax.Array
+    k: jax.Array
+    done: jax.Array
+    converged: jax.Array
+    nan_found: jax.Array
+    nrm_r: jax.Array
+    nrm_s: jax.Array
+    gap: jax.Array
+    eps_pri: jax.Array
+    eps_dua: jax.Array
+    eps_gap: jax.Array
+    prev_nrm_r: jax.Array
+
+
+def admm_loop(
+    A,
+    norm_A,
+    d,
+    e,
+    prox_fn: Callable,      # (x_in, y_in, rho) -> (x12, y12)   [scaled objective]
+    eval_fn: Callable,      # (x12, y12) -> optval              [scaled objective]
+    project_fn: Callable,   # (x0, y0, tol, x_warm) -> (x, y)
+    settings: SolverSettings,
+    z0,
+    zt0,
+    rho0,
+):
+    """Run the scaled-space ADMM iteration. Pure/traceable.
+
+    Returns a dict of scaled-space results plus diagnostics; unscaling to
+    the original space happens in the caller (solver wrapper).
+    """
+    m, n = A.shape
+    dt = A.dtype
+    exact_mode = settings.use_exact_tol
+
+    alpha = jnp.asarray(1.0 if exact_mode else 1.7, dt)
+    abs_tol = jnp.asarray(settings.abs_tol, dt)
+    rel_tol = jnp.asarray(settings.rel_tol, dt)
+    sqrtn_atol = jnp.sqrt(jnp.asarray(n, dt)) * abs_tol
+    sqrtm_atol = jnp.sqrt(jnp.asarray(m, dt)) * abs_tol
+    sqrtmn_atol = jnp.sqrt(jnp.asarray(m + n, dt)) * abs_tol
+
+    # Projection-tolerance ladder (pogs.cpp:103-110, 287-290).
+    proj_tol_max = jnp.asarray(1e-10 if exact_mode else 1e-8, dt)
+    proj_tol_min = jnp.asarray(1e-3 if exact_mode else 1e-2, dt)
+    proj_pow = jnp.asarray(1.0 if exact_mode else 0.5, dt)
+
+    max_iter = settings.max_iter
+    one = jnp.asarray(1.0, dt)
+
+    def matvec(x):
+        return jnp.matmul(A, x, precision=_PRECISION)
+
+    def rmatvec(y):
+        return jnp.matmul(A.T, y, precision=_PRECISION)
+
+    def nrm(v):
+        return jnp.linalg.norm(v)
+
+    def body(st: LoopState) -> LoopState:
+        zprev = st.z
+        rho = st.rho
+
+        # --- Proximal step: z^{k+1/2} = prox(z^k - z̃^k) -------------------
+        zin = st.z - st.zt
+        x12, y12 = prox_fn(zin[:n], zin[n:], rho)
+        z12 = jnp.concatenate([x12, y12])
+
+        # --- Gap / tolerances (pogs.cpp:266-273) ---------------------------
+        zmz12 = zin - z12  # = zprev - zt - z12; its x-part is mu/rho
+        gap = jnp.abs(jnp.vdot(zmz12, z12))
+        eps_gap = sqrtmn_atol + rel_tol * nrm(zmz12) * nrm(z12)
+        eps_pri = sqrtm_atol + rel_tol * nrm(y12)
+        eps_dua = rho * (sqrtn_atol + rel_tol * nrm(zmz12[:n]))
+
+        # --- Over-relaxed projection input (pogs.cpp:276-278) --------------
+        z_or = st.zt + alpha * z12 + (one - alpha) * zprev
+
+        # Residual-tied projection tolerance.
+        proj_tol = proj_tol_min * jnp.power(jnp.minimum(st.prev_nrm_r, one), proj_pow)
+        proj_tol = jnp.maximum(proj_tol, proj_tol_max)
+
+        x_new, y_new = project_fn(z_or[:n], z_or[n:], proj_tol, zprev[:n])
+        z_new = jnp.concatenate([x_new, y_new])
+
+        # --- Approximate residuals (pogs.cpp:299-308) ----------------------
+        dzp = zprev - z_new
+        nrm_s = rho * (norm_A * nrm(dzp[n:]) + nrm(dzp[:n]))
+        dz12 = z12 - z_new
+        nrm_r = norm_A * nrm(dz12[:n]) + nrm(dz12[n:])
+
+        # --- Exact residuals only near tolerance (pogs.cpp:310-336) --------
+        near = jnp.logical_and(nrm_r < 10 * eps_pri, nrm_s < 10 * eps_dua)
+        if exact_mode:
+            near = jnp.asarray(True)
+
+        def exact_branch(_):
+            r_vec = matvec(x12) - y12
+            s_in = y12 + st.zt[n:] - zprev[n:]
+            s_vec = rmatvec(s_in) + (x12 + st.zt[:n] - zprev[:n])
+            if exact_mode:
+                # Original-space metrics (pogs.cpp:210-248).
+                dm = jnp.where(d == 0, jnp.ones_like(d), d)
+                r_o = jnp.where(d == 0, jnp.zeros_like(r_vec), r_vec / dm)
+                y_o = jnp.where(d == 0, jnp.zeros_like(y12), y12 / dm)
+                ax_o = jnp.where(d == 0, jnp.zeros_like(r_vec), (r_vec + y12) / dm)
+                x_o = x12 * e
+                nrm_r_e = nrm(r_o)
+                eps_pri_e = sqrtm_atol + rel_tol * jnp.maximum(nrm(ax_o), nrm(y_o))
+                eps_dua_e = rho * (sqrtn_atol + rel_tol * nrm(x_o))
+                em = jnp.where(e == 0, jnp.ones_like(e), e)
+                s_o = jnp.where(e == 0, jnp.zeros_like(s_vec), s_vec / em)
+                nrm_s_e = rho * nrm(s_o)
+                return nrm_r_e, nrm_s_e, eps_pri_e, eps_dua_e, jnp.asarray(True)
+            return nrm(r_vec), rho * nrm(s_vec), eps_pri, eps_dua, jnp.asarray(True)
+
+        def approx_branch(_):
+            return nrm_r, nrm_s, eps_pri, eps_dua, jnp.asarray(False)
+
+        nrm_r, nrm_s, eps_pri, eps_dua, exact = lax.cond(
+            near, exact_branch, approx_branch, operand=None
+        )
+
+        converged = jnp.logical_and(
+            exact, jnp.logical_and(nrm_r < eps_pri, nrm_s < eps_dua)
+        )
+        if settings.gap_stop:
+            converged = jnp.logical_and(converged, gap < eps_gap)
+
+        nan_found = jnp.logical_not(
+            jnp.logical_and(jnp.isfinite(nrm_r), jnp.isfinite(jnp.sum(z_new)))
+        )
+        done = converged | nan_found | (st.k >= max_iter - 1)
+
+        if settings.verbose > 1:
+            stride = 10 if settings.verbose > 2 else 100
+
+            def _report(_):
+                optval = eval_fn(x12, y12)
+                jax.debug.print(
+                    "{k:5d} : {r:.2e}  {ep:.2e}  {s:.2e}  {ed:.2e}  {g:.2e}  {eg:.2e}  {o:.2e}",
+                    k=st.k, r=nrm_r, ep=eps_pri, s=nrm_s, ed=eps_dua,
+                    g=gap, eg=eps_gap, o=optval,
+                )
+                return 0
+
+            lax.cond((st.k % stride == 0) | converged, _report, lambda _: 0, None)
+
+        # --- Dual update (pogs.cpp:396-399); skipped once done -------------
+        zt_new = st.zt + alpha * z12 + (one - alpha) * zprev - z_new
+
+        # --- Adaptive rho (pogs.cpp:401-466) --------------------------------
+        rho_new, delta_new, xi_new, kd_new, ku_new = (
+            rho, st.delta, st.xi, st.kd, st.ku
+        )
+        if settings.adaptive_rho:
+            freq = 10 if exact_mode else 50
+            change_max = jnp.asarray(2.0 if exact_mode else 1.5, dt)
+            change_min = jnp.asarray(0.5 if exact_mode else 0.67, dt)
+            imb_thresh = jnp.asarray(5.0 if exact_mode else 10.0, dt)
+
+            pri_n = nrm_r / eps_pri
+            dua_n = nrm_s / eps_dua
+            spec_slot = (st.k > 0) & (st.k % freq == 0) & (eps_pri > 0) & (eps_dua > 0)
+            safe_dua = jnp.where(dua_n == 0, jnp.ones_like(dua_n), dua_n)
+            imb = pri_n / safe_dua
+            spec_cond = (
+                (pri_n > 0) & (dua_n > 0)
+                & ((imb > imb_thresh) | (imb < one / imb_thresh))
+            )
+            rho_ratio = jnp.clip(jnp.sqrt(imb), change_min, change_max)
+            rho_spec = jnp.clip(rho * rho_ratio, K_RHO_MIN, K_RHO_MAX)
+            spec_apply = spec_slot & spec_cond & (jnp.abs(rho_spec - rho) / rho > 0.05)
+
+            kf = st.k.astype(dt)
+            bal_slot = jnp.logical_not(spec_slot)
+            s_small = nrm_s < st.xi * eps_dua
+            r_small = nrm_r < st.xi * eps_pri
+            bal_up = bal_slot & s_small & jnp.logical_not(r_small) & (K_TAU * kf > st.kd)
+            bal_dn = (
+                bal_slot & jnp.logical_not(s_small) & r_small
+                & (K_TAU * kf > st.ku) & jnp.logical_not(bal_up)
+            )
+            bal_both = (
+                bal_slot & s_small & r_small
+                & jnp.logical_not(bal_up) & jnp.logical_not(bal_dn)
+            )
+            bal_else = (
+                bal_slot & jnp.logical_not(bal_up) & jnp.logical_not(bal_dn)
+                & jnp.logical_not(bal_both)
+            )
+            up_apply = bal_up & (rho < K_RHO_MAX)
+            dn_apply = bal_dn & (rho > K_RHO_MIN)
+
+            rho_new = jnp.where(
+                spec_apply, rho_spec,
+                jnp.where(up_apply, rho * st.delta,
+                          jnp.where(dn_apply, rho / st.delta, rho)),
+            )
+            zt_scale = jnp.where(
+                spec_apply, rho / rho_spec,
+                jnp.where(up_apply, one / st.delta,
+                          jnp.where(dn_apply, st.delta, one)),
+            )
+            zt_new = zt_new * zt_scale
+            delta_new = jnp.where(
+                up_apply | dn_apply, K_GAMMA * st.delta,
+                jnp.where(bal_else, jnp.asarray(K_DELTA_MIN, dt), st.delta),
+            )
+            xi_new = jnp.where(bal_both, st.xi * K_KAPPA, st.xi)
+            ku_new = jnp.where(up_apply, kf, st.ku)
+            kd_new = jnp.where(dn_apply, kf, st.kd)
+
+        # Freeze post-convergence state (the reference breaks before the
+        # dual/rho updates, pogs.cpp:391-394).
+        keep = done
+
+        def sel(new, old):
+            return jnp.where(keep, old, new)
+
+        return LoopState(
+            z=z_new,
+            zt=sel(zt_new, st.zt),
+            z12=z12,
+            zprev=zprev,
+            rho=sel(rho_new, rho),
+            delta=sel(delta_new, st.delta),
+            xi=sel(xi_new, st.xi),
+            kd=sel(kd_new, st.kd),
+            ku=sel(ku_new, st.ku),
+            k=jnp.where(done, st.k, st.k + 1),
+            done=done,
+            converged=converged,
+            nan_found=nan_found,
+            nrm_r=nrm_r,
+            nrm_s=nrm_s,
+            gap=gap,
+            eps_pri=eps_pri,
+            eps_dua=eps_dua,
+            eps_gap=eps_gap,
+            prev_nrm_r=sel(nrm_r, st.prev_nrm_r),
+        )
+
+    zeros = jnp.zeros((m + n,), dt)
+    init = LoopState(
+        z=jnp.asarray(z0, dt),
+        zt=jnp.asarray(zt0, dt),
+        z12=zeros,
+        zprev=zeros,
+        rho=jnp.asarray(rho0, dt),
+        delta=jnp.asarray(K_DELTA_MIN, dt),
+        xi=jnp.asarray(1.0, dt),
+        kd=jnp.asarray(0.0, dt),
+        ku=jnp.asarray(0.0, dt),
+        k=jnp.asarray(0, jnp.int32),
+        done=jnp.asarray(False),
+        converged=jnp.asarray(False),
+        nan_found=jnp.asarray(False),
+        nrm_r=jnp.asarray(0.0, dt),
+        nrm_s=jnp.asarray(0.0, dt),
+        gap=jnp.asarray(0.0, dt),
+        eps_pri=jnp.asarray(0.0, dt),
+        eps_dua=jnp.asarray(0.0, dt),
+        eps_gap=jnp.asarray(0.0, dt),
+        prev_nrm_r=jnp.asarray(jnp.finfo(dt).max, dt),
+    )
+
+    st = lax.while_loop(lambda s: jnp.logical_not(s.done), body, init)
+
+    # --- Outputs (scaled space), pogs.cpp:472-518 --------------------------
+    optval = eval_fn(st.z12[:n], st.z12[n:])
+
+    # (mu, nu)/rho = -(zt - zprev + z12); scaled duals.
+    zdual = -st.rho * (st.zt - st.zprev + st.z12)
+
+    status = jnp.where(
+        st.converged,
+        Status.SUCCESS.value,
+        jnp.where(st.nan_found, Status.NAN_FOUND.value, Status.MAX_ITER.value),
+    ).astype(jnp.int32)
+
+    return {
+        "x12": st.z12[:n],
+        "y12": st.z12[n:],
+        "mu_scaled": zdual[:n],
+        "nu_scaled": zdual[n:],
+        "optval": optval,
+        "final_iter": st.k,
+        "status": status,
+        "rho": st.rho,
+        "nrm_r": st.nrm_r,
+        "nrm_s": st.nrm_s,
+        "gap": st.gap,
+        "eps_pri": st.eps_pri,
+        "eps_dua": st.eps_dua,
+        # The last complete iterate, for implicit warm starts (pogs.cpp:573).
+        "z": st.zprev,
+        "zt": st.zt,
+    }
+
+
+def postsolve_verify(A, d, e, x12, y12, status, abs_tol, rel_tol):
+    """Exact-tol post-solve verification (pogs.cpp:520-564).
+
+    Recomputes the primal residual in the original space; downgrades
+    SUCCESS → MAX_ITER if it misses tolerance. x12/y12 here are *scaled*.
+    """
+    m = A.shape[0]
+    dt = A.dtype
+    sqrtm_atol = jnp.sqrt(jnp.asarray(m, dt)) * jnp.asarray(abs_tol, dt)
+    dm = jnp.where(d == 0, jnp.ones_like(d), d)
+    ax_orig = jnp.matmul(A, x12, precision=_PRECISION) / dm
+    y_orig = y12 / dm
+    r = ax_orig - y_orig
+    res = jnp.linalg.norm(r)
+    eps = sqrtm_atol + jnp.asarray(rel_tol, dt) * jnp.maximum(
+        jnp.linalg.norm(ax_orig), jnp.linalg.norm(y_orig)
+    )
+    bad = jnp.logical_and(status == Status.SUCCESS.value, res > eps)
+    return jnp.where(bad, Status.MAX_ITER.value, status).astype(jnp.int32)

@@ -1,0 +1,26 @@
+"""Test harness config: CPU backend with 8 virtual devices (simulates a
+multi-chip mesh, per SURVEY.md §4), float64 enabled for math oracles."""
+
+import os
+
+# Force the CPU backend (the ambient env may point at a TPU): tests simulate
+# an 8-device mesh on host CPU, per the multi-chip test strategy.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# A TPU-tunnel plugin (if present) registers itself at interpreter boot and
+# overrides platform selection via jax.config — override it back.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
