@@ -36,6 +36,8 @@ from pogs_tpu.types import (
 )
 from pogs_tpu.prox import prox_eval, func_eval, proj_subgrad_eval
 from pogs_tpu.solver import SolverState, admm_solve, GraphFormSolver
+from pogs_tpu.solver.cone import ConeSolver
+from pogs_tpu.api.cone import solve_cone, solve_cone_problem, dims_to_cones, auto_rho
 from pogs_tpu.api.graph import (
     solve_graph_form,
     solve_lasso,
@@ -64,6 +66,11 @@ __all__ = [
     "proj_subgrad_eval",
     "admm_solve",
     "GraphFormSolver",
+    "ConeSolver",
+    "solve_cone",
+    "solve_cone_problem",
+    "dims_to_cones",
+    "auto_rho",
     "solve_graph_form",
     "solve_lasso",
     "solve_ridge",

@@ -48,24 +48,38 @@ def _packed_indices(nmat: int):
     return np.asarray(rows), np.asarray(cols)
 
 
-def project_sdp_packed(v, nmat: int):
+def project_sdp_packed(v, nmat: int, scaled: bool = False):
     """Project packed-lower-triangular symmetric matrices onto the PSD cone.
 
     v: (K, L) with L = nmat(nmat+1)/2, column-major lower-tri packing.
     Batched eigendecomposition + eigenvalue clamp + reconstruction
-    (prox_lib_cone.h:349-435).  Like the reference, entries are packed
-    without off-diagonal √2 weighting.
+    (prox_lib_cone.h:349-435).
+
+    ``scaled=True`` uses the svec convention (off-diagonal entries carry a
+    √2 weight) so that the packed ℓ2 norm equals the matrix Frobenius norm
+    — then the eigh-clamp IS the Euclidean projection in packed space.
+    The reference packs *unscaled* (scaled=False), for which the eigh-clamp
+    is only an approximation of the packed-space projection; splitting
+    solvers need the scaled form to converge reliably.
     """
     K, L = v.shape
     assert L == nmat * (nmat + 1) // 2, "packed size mismatch"
     rows, cols = _packed_indices(nmat)
+    off = jnp.asarray((rows != cols), v.dtype)
+    if scaled:
+        vmat = v * (1.0 + off * (np.sqrt(0.5) - 1.0))  # off-diag / sqrt(2)
+    else:
+        vmat = v
     X = jnp.zeros((K, nmat, nmat), v.dtype)
-    X = X.at[:, rows, cols].set(v)
-    X = X.at[:, cols, rows].set(v)
+    X = X.at[:, rows, cols].set(vmat)
+    X = X.at[:, cols, rows].set(vmat)
     w, V = jnp.linalg.eigh(X)
     w = jnp.maximum(w, 0.0)
     Xp = jnp.einsum("kil,kl,kjl->kij", V, w, V)
-    return Xp[:, rows, cols]
+    out = Xp[:, rows, cols]
+    if scaled:
+        out = out * (1.0 + off * (np.sqrt(2.0) - 1.0))  # off-diag * sqrt(2)
+    return out
 
 
 def project_exp_primal(v, bisect_iters: int = 50, grid_points: int = 128):

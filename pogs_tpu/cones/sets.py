@@ -133,7 +133,10 @@ class ConeSet:
             elif cone == Cone.SDP:
                 L = idx.shape[1]
                 nmat = int((-1 + np.sqrt(1 + 8 * L)) / 2)
-                proj = project_sdp_packed(vals, nmat)
+                # svec coordinates: the ConeSolver transforms SDP rows into
+                # the √2-weighted basis where eigh-clamp is the true
+                # Euclidean projection.
+                proj = project_sdp_packed(vals, nmat, scaled=True)
             elif cone == Cone.EXP_PRIMAL:
                 proj = project_exp_primal(vals)
             else:
@@ -163,3 +166,26 @@ class ConeSet:
     def distance(self, v):
         """‖v − Π_K(v)‖ — used for residuals and membership tests."""
         return jnp.linalg.norm(v - self.project(v))
+
+    def svec_scale(self) -> np.ndarray:
+        """Per-coordinate svec weights: √2 on off-diagonal entries of SDP
+        cones, 1 elsewhere.  The solver conjugates the problem by this
+        diagonal so packed-space ℓ2 geometry matches matrix Frobenius
+        geometry (see project_sdp_packed)."""
+        scale = np.ones(self.dim)
+        for con in self.constraints:
+            if con.cone != Cone.SDP:
+                continue
+            L = len(con.indices)
+            nmat = int((-1 + np.sqrt(1 + 8 * L)) / 2)
+            k = 0
+            for col in range(nmat):
+                for row in range(col, nmat):
+                    if row != col:
+                        scale[con.indices[k]] = np.sqrt(2.0)
+                    k += 1
+        return scale
+
+    @property
+    def has_sdp(self) -> bool:
+        return any(c.cone == Cone.SDP for c in self.constraints)

@@ -1,0 +1,335 @@
+"""Cone-form solver front end.
+
+Counterpart of PogsCone (src/cpu/pogs.cpp:1905-1976):
+
+    minimize    c'x (+ 1/2 x'Px)
+    subject to  b − A x ∈ K_y,   x ∈ K_x
+
+Dispatch mirrors the reference: K_x empty → HSDE Douglas–Rachford
+(pogs.cpp:1946-1971); K_x non-empty → graph-form ADMM with the cone
+objective (PogsObjectiveCone, pogs.cpp:642-785), whose prox is a linear
+x-step followed by cone projections, run in exact-tolerance mode.
+Quadratic objectives with K_x constraints are rejected (pogs.cpp:1941-1944).
+
+Equilibration uses the cone-averaging hooks: scalings are uniform within
+each non-separable cone (pogs.cpp:758-782).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pogs_tpu.types import Cone, ConeConstraint, SolverResult, SolverSettings, Status
+from pogs_tpu.cones.sets import ConeSet
+from pogs_tpu.linalg.equil import equilibrate
+from pogs_tpu.linalg.norm import norm2_est
+from pogs_tpu.projector.direct import DirectProjector
+from pogs_tpu.projector.indirect import CglsProjector
+from pogs_tpu.solver.admm import admm_loop, postsolve_verify
+from pogs_tpu.solver.hsde import hsde_solve, smw_solve
+
+_PRECISION = jax.lax.Precision.HIGHEST
+_CONE_INIT_CACHE: dict = {}
+_CONE_SOLVE_CACHE: dict = {}
+
+
+def _cone_key(cones: Sequence[ConeConstraint]):
+    return tuple((int(c.cone), c.indices) for c in cones)
+
+
+class ConeSolver:
+    """Reusable cone-form solver for a fixed matrix A and cone structure."""
+
+    def __init__(
+        self,
+        A,
+        Kx: Sequence[ConeConstraint] = (),
+        Ky: Sequence[ConeConstraint] = (),
+        settings: Optional[SolverSettings] = None,
+        strategy: Optional[str] = None,
+        projector: str = "direct",
+        dtype=None,
+    ):
+        A_raw = np.asarray(A)
+        if dtype is None:
+            dtype = jnp.result_type(A_raw.dtype, jnp.float32)
+        self.m, self.n = A_raw.shape
+        self.Kx = ConeSet(list(Kx), self.n)
+        self.Ky = ConeSet(list(Ky), self.m)
+        self._A_raw = A_raw
+        # svec transform: conjugate SDP coordinates by the √2 off-diagonal
+        # weights so all cone projections are true Euclidean projections.
+        self._row_scale = self.Ky.svec_scale()
+        self._col_scale = self.Kx.svec_scale()
+        self._needs_svec = self.Ky.has_sdp or self.Kx.has_sdp
+        if self._needs_svec:
+            A_raw = A_raw * self._row_scale[:, None] / self._col_scale[None, :]
+        self.A = jnp.asarray(A_raw, dtype)
+        self.dtype = self.A.dtype
+        base = settings or SolverSettings()
+        # Cone problems run the graph loop in exact-tolerance mode
+        # (PogsObjectiveCone::UseExactTol, pogs.cpp:784).
+        self.settings = base.replace(use_exact_tol=True)
+        self.use_hsde = self.Kx.is_empty
+        self.projector = projector
+        dim = self.m + self.n + 1
+        if strategy is None:
+            strategy = "smw" if projector == "direct" else "cg"
+        self.strategy = strategy
+        self._init_state = None
+        self.rho = float(base.rho)
+
+    # -- one-time init: equilibrate with cone hooks + factor ----------------
+
+    def init(self):
+        if self._init_state is not None:
+            return self
+        key = (
+            (self.m, self.n), str(self.dtype), _cone_key(self.Kx.constraints),
+            _cone_key(self.Ky.constraints), self.projector,
+        )
+        fn = _CONE_INIT_CACHE.get(key)
+        if fn is None:
+            Kx, Ky = self.Kx, self.Ky
+            proj = (DirectProjector() if self.projector == "direct"
+                    else CglsProjector())
+
+            def init_fn(A):
+                eq = equilibrate(
+                    A,
+                    constrain_d=Ky.constrain_average,
+                    constrain_e=Kx.constrain_average,
+                )
+                norm_A = norm2_est(eq.A)
+                factor = proj.init(eq.A, s=1.0)
+                return {"A": eq.A, "d": eq.d, "e": eq.e,
+                        "norm_A": norm_A, "factor": factor}
+
+            fn = jax.jit(init_fn)
+            _CONE_INIT_CACHE[key] = fn
+        self._init_state = fn(self.A)
+        return self
+
+    # -- solve ---------------------------------------------------------------
+
+    def solve(self, b, c, P=None, settings: Optional[SolverSettings] = None,
+              _no_sync: bool = False):
+        settings = (settings.replace(use_exact_tol=True)
+                    if settings is not None else self.settings)
+        if P is not None:
+            P = np.asarray(P)
+            if P.shape != (self.n, self.n):
+                raise ValueError(f"P must be {self.n}x{self.n}")
+            if not self.use_hsde:
+                raise ValueError(
+                    "quadratic objectives with K_x constraints are not supported"
+                )
+            # The naive HSDE embedding with P in Q does not have the QP
+            # optimum as a fixed point (the reference documents this and
+            # merely warns, pogs.cpp:1511-1513 / pogs_cvxpy.py:160-173).
+            # We solve QPs correctly instead: epigraph + rotated-SOC
+            # reformulation through the standard conic path.
+            return self._solve_qp_as_socp(b, c, P, settings, _no_sync)
+        self.init()
+
+        key = (
+            (self.m, self.n), str(self.dtype), _cone_key(self.Kx.constraints),
+            _cone_key(self.Ky.constraints), settings, self.use_hsde,
+            self.strategy, self.projector, P is not None,
+        )
+        fn = _CONE_SOLVE_CACHE.get(key)
+        if fn is None:
+            fn = jax.jit(self._build_solve(settings, P is not None))
+            _CONE_SOLVE_CACHE[key] = fn
+
+        npdt = np.dtype(str(self.dtype))
+        b = np.asarray(b, npdt)
+        c = np.asarray(c, npdt)
+        if self._needs_svec:
+            b = b * self._row_scale.astype(npdt)
+            c = c / self._col_scale.astype(npdt)
+        t0 = time.perf_counter()
+        out = fn(self._init_state, b, c,
+                 P if P is not None else np.zeros((0, 0), np.float32),
+                 float(self.rho))
+        if self._needs_svec:
+            rs = jnp.asarray(self._row_scale, self.dtype)
+            cs = jnp.asarray(self._col_scale, self.dtype)
+            out = dict(out)
+            out["x"] = out["x"] / cs
+            out["y"] = out["y"] / rs
+            out["mu"] = out["mu"] * cs
+            out["nu"] = out["nu"] * rs
+        if _no_sync:
+            return out
+        status = Status(int(out["status"]))
+        solve_time = time.perf_counter() - t0
+        return SolverResult(
+            x=out["x"], y=out["y"], mu=out["mu"], nu=out["nu"],
+            optval=out["optval"], final_iter=out["final_iter"], status=status,
+            nrm_r=out.get("r_pri"), nrm_s=out.get("r_dua"), gap=out.get("gap"),
+            solve_time=solve_time,
+        )
+
+    # -- QP → SOCP reformulation ----------------------------------------------
+
+    def _solve_qp_as_socp(self, b, c, P, settings, _no_sync):
+        """min c'x + ½x'Px s.t. b−Ax ∈ K_y  ⇒  epigraph variable t with
+        ½x'Px ≤ t as a rotated second-order cone:
+
+            (t+1, t−1, √2 L'x) ∈ SOC,   P = L L'  (eigh-based square root)
+
+        then minimize c'x + t through the (correct) conic HSDE path."""
+        n, m = self.n, self.m
+        npdt = np.dtype(str(self.dtype))
+        P = np.asarray(P, np.float64)
+        w, V = np.linalg.eigh((P + P.T) / 2)
+        keep = w > max(1e-12, 1e-10 * max(w.max(), 1.0))
+        Lt = (np.sqrt(w[keep])[:, None] * V[:, keep].T)  # (r, n), P = Lt'Lt
+        r = Lt.shape[0]
+
+        A_np = np.asarray(self._A_raw, np.float64)
+        # Extended variable (x, t); extended rows: original m + SOC(r+2).
+        A_ext = np.zeros((m + r + 2, n + 1))
+        A_ext[:m, :n] = A_np
+        A_ext[m, n] = -1.0       # s0 = 1 + t
+        A_ext[m + 1, n] = -1.0   # s1 = -1 + t
+        A_ext[m + 2:, :n] = -np.sqrt(2.0) * Lt
+        b_ext = np.concatenate([np.asarray(b, np.float64),
+                                [1.0, -1.0], np.zeros(r)])
+        c_ext = np.concatenate([np.asarray(c, np.float64), [1.0]])
+        Ky_ext = list(self.Ky.constraints) + [
+            ConeConstraint(Cone.SOC, range(m, m + r + 2))
+        ]
+        sub_key = (A_ext.shape, Lt.tobytes(), _cone_key(self.Ky.constraints))
+        sub = getattr(self, "_qp_sub", None)
+        if sub is None or getattr(self, "_qp_sub_key", None) != sub_key:
+            sub = ConeSolver(
+                A_ext.astype(npdt), Ky=Ky_ext, settings=settings,
+                strategy=self.strategy, projector=self.projector,
+                dtype=self.dtype,
+            )
+            self._qp_sub = sub
+            self._qp_sub_key = sub_key
+        res = sub.solve(b_ext.astype(npdt), c_ext.astype(npdt),
+                        settings=settings, _no_sync=_no_sync)
+        if _no_sync:
+            return res
+        x = res.x[:n]
+        optval = jnp.vdot(jnp.asarray(c, self.dtype), x) + 0.5 * jnp.vdot(
+            x, jnp.asarray(P, self.dtype) @ x
+        )
+        return SolverResult(
+            x=x, y=res.y[:m], mu=res.mu[:n], nu=res.nu[:m],
+            optval=optval, final_iter=res.final_iter, status=res.status,
+            nrm_r=res.nrm_r, nrm_s=res.nrm_s, gap=res.gap,
+            solve_time=res.solve_time,
+        )
+
+    # -- jitted solve builders -------------------------------------------------
+
+    def _build_solve(self, settings: SolverSettings, has_P: bool):
+        m, n = self.m, self.n
+        Kx, Ky = self.Kx, self.Ky
+        strategy = self.strategy
+        use_hsde = self.use_hsde
+        dt = self.dtype
+        proj = (DirectProjector() if self.projector == "direct"
+                else CglsProjector(max_iter=settings.cgls_max_iter))
+
+        def solve(init_state, b_orig, c_orig, P_orig, rho0):
+            A = init_state["A"]
+            d = init_state["d"]
+            e = init_state["e"]
+            b_orig = jnp.asarray(b_orig, dt)
+            c_orig = jnp.asarray(c_orig, dt)
+            # Scale by the equilibration (pogs.cpp:1463-1475, 723-726).
+            b_s = b_orig * d
+            c_s = c_orig * e
+            P_s = None
+            if has_P:
+                P_o = jnp.asarray(P_orig, dt)
+                P_s = P_o * e[:, None] * e[None, :]
+
+            if use_hsde:
+                smw_factor = None
+                if strategy == "smw" and not has_P and self.projector == "direct":
+                    # Reuse the cached Gram inverse (I + AᵀA)⁻¹ from init.
+                    Kinv = init_state["factor"]["op"]
+                    rhs = c_s - jnp.matmul(A.T, b_s, precision=_PRECISION)
+                    t_x = jnp.matmul(Kinv, rhs, precision=_PRECISION)
+                    t_y = b_s + jnp.matmul(A, t_x, precision=_PRECISION)
+                    s_den = 1.0 + jnp.vdot(c_s, t_x) + jnp.vdot(b_s, t_y)
+                    smw_factor = {"Kinv": Kinv, "t_x": t_x, "t_y": t_y,
+                                  "s_den": s_den}
+                out = hsde_solve(
+                    A, b_s, c_s, Ky, P=P_s, strategy=strategy,
+                    abs_tol=settings.abs_tol, rel_tol=settings.rel_tol,
+                    max_iter=settings.max_iter, smw_factor=smw_factor,
+                )
+                w = out["w"]
+                tau = w[n + m]
+                tau_ok = tau > 1e-8
+                tau_safe = jnp.where(tau_ok, tau, 1.0)
+                x_s = w[:n] / tau_safe
+                y_s = w[n:n + m] / tau_safe
+                s_scaled = b_s - jnp.matmul(A, x_s, precision=_PRECISION)
+                # Unscale (pogs.cpp:1841-1865); zeros if tau ~ 0.
+                x = jnp.where(tau_ok, x_s * e, jnp.zeros(n, dt))
+                s_orig = s_scaled / d
+                y = jnp.where(tau_ok, b_orig - s_orig, jnp.zeros(m, dt))
+                nu = jnp.where(tau_ok, y_s * d, jnp.zeros(m, dt))
+                optval = jnp.vdot(c_orig, x)
+                if has_P:
+                    optval = optval + 0.5 * jnp.vdot(x, jnp.matmul(P_o, x))
+                return {
+                    "x": x, "y": y, "mu": jnp.zeros(n, dt), "nu": nu,
+                    "optval": optval, "final_iter": out["final_iter"],
+                    "status": out["status"], "r_pri": out["r_pri"],
+                    "r_dua": out["r_dua"], "gap": out["gap"],
+                }
+
+            # ---- graph-form cone path (Kx non-empty, P empty) --------------
+            # Normalize c to unit norm, folding the scale into optval
+            # (pogs.cpp:738-755).
+            c_nrm = jnp.linalg.norm(c_s)
+            c_scale = jnp.where(c_nrm > 0, 1.0 / jnp.maximum(c_nrm, 1e-30), 1.0)
+            c_n = c_s * c_scale
+
+            def prox_fn(x_in, y_in, rho):
+                # Linear x-step + cone projections (pogs.cpp:687-721).
+                x12 = Kx.project(x_in - c_n / rho)
+                y12 = b_s - Ky.project(b_s - y_in)
+                return x12, y12
+
+            def eval_fn(x12, y12):
+                return jnp.vdot(c_n, x12) / c_scale
+
+            factor = init_state["factor"]
+
+            def project_fn(px, py, tol, x_warm):
+                return proj.project(A, factor, px, py, tol, x_warm)
+
+            z0 = jnp.zeros((m + n,), dt)
+            out = admm_loop(
+                A, init_state["norm_A"], d, e, prox_fn, eval_fn, project_fn,
+                settings, z0, z0, jnp.asarray(rho0, dt),
+            )
+            out["status"] = postsolve_verify(
+                A, d, e, out["x12"], out["y12"], out["status"],
+                settings.abs_tol, settings.rel_tol,
+            )
+            return {
+                "x": out["x12"] * e, "y": out["y12"] / d,
+                "mu": out["mu_scaled"] / e, "nu": out["nu_scaled"] * d,
+                "optval": out["optval"], "final_iter": out["final_iter"],
+                "status": out["status"], "r_pri": out["nrm_r"],
+                "r_dua": out["nrm_s"], "gap": out["gap"],
+            }
+
+        return solve

@@ -1,0 +1,165 @@
+"""Cone-form solver tests: LP/SOC via HSDE, standard-form LP via the
+graph-form cone path, infeasibility/unboundedness certificates.
+
+Mirrors tests/test_solver.cpp:14-41 (cone LP with known solution) and the
+legacy tests/test_cone.cpp cases, with scipy.linprog as oracle.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+from scipy.optimize import linprog
+
+from pogs_tpu.types import Cone, ConeConstraint, SolverSettings, Status
+from pogs_tpu.solver.cone import ConeSolver
+
+
+def _settings(**kw):
+    base = dict(abs_tol=1e-6, rel_tol=1e-6, max_iter=20000)
+    base.update(kw)
+    return SolverSettings(**base)
+
+
+def test_hsde_lp_known_solution():
+    # min -x1 - 2 x2  s.t.  x1 + x2 <= 1, x >= 0  -> x* = (0, 1), val -2.
+    A = np.array([[1.0, 1.0], [-1.0, 0.0], [0.0, -1.0]])
+    b = np.array([1.0, 0.0, 0.0])
+    c = np.array([-1.0, -2.0])
+    Ky = [ConeConstraint(Cone.NON_NEG, [0, 1, 2])]
+    solver = ConeSolver(A, Ky=Ky, dtype=jnp.float64)
+    res = solver.solve(b, c, settings=_settings())
+    assert res.status == Status.SUCCESS
+    np.testing.assert_allclose(np.asarray(res.x), [0.0, 1.0], atol=1e-4)
+    np.testing.assert_allclose(float(res.optval), -2.0, atol=1e-4)
+
+
+def test_hsde_lp_vs_scipy(rng):
+    m, n = 30, 15
+    A = rng.normal(size=(m, n))
+    x0 = rng.random(n)
+    b = A @ x0 + rng.random(m)  # strictly feasible
+    c = rng.normal(size=n)
+    # bounded: add box rows x <= 2, -x <= 2
+    A_full = np.vstack([A, np.eye(n), -np.eye(n)])
+    b_full = np.concatenate([b, 2 * np.ones(n), 2 * np.ones(n)])
+    Ky = [ConeConstraint(Cone.NON_NEG, range(A_full.shape[0]))]
+    solver = ConeSolver(A_full, Ky=Ky, dtype=jnp.float64)
+    res = solver.solve(b_full, c, settings=_settings())
+    assert res.status == Status.SUCCESS
+    ref = linprog(c, A_ub=A_full, b_ub=b_full, bounds=(None, None), method="highs")
+    assert ref.success
+    np.testing.assert_allclose(float(res.optval), ref.fun, rtol=1e-3, atol=1e-4)
+    # primal feasibility
+    assert np.max(A_full @ np.asarray(res.x) - b_full) < 1e-4
+
+
+def test_hsde_lp_with_equality(rng):
+    # min c'x s.t. Ax = b (zero cone rows) + x >= -5 box (nonneg rows).
+    m, n = 8, 12
+    A = rng.normal(size=(m, n))
+    x0 = rng.normal(size=n)
+    b = A @ x0
+    c = rng.normal(size=n)
+    A_full = np.vstack([A, -np.eye(n)])
+    b_full = np.concatenate([b, 5 * np.ones(n)])
+    Ky = [ConeConstraint(Cone.ZERO, range(m)),
+          ConeConstraint(Cone.NON_NEG, range(m, m + n))]
+    solver = ConeSolver(A_full, Ky=Ky, dtype=jnp.float64)
+    res = solver.solve(b_full, c, settings=_settings())
+    assert res.status == Status.SUCCESS
+    x = np.asarray(res.x)
+    np.testing.assert_allclose(A @ x, b, atol=1e-4)
+    ref = linprog(c, A_eq=A, b_eq=b, bounds=(-5, None), method="highs")
+    assert ref.success
+    np.testing.assert_allclose(float(res.optval), ref.fun, rtol=1e-3, atol=1e-4)
+
+
+def test_hsde_soc_ball():
+    # min c'x s.t. ||x|| <= 1  ->  x* = -c/||c||, val -||c||.
+    n = 5
+    c = np.array([1.0, -2.0, 0.5, 0.0, 1.5])
+    # b - Ax = (1, x) in SOC: first row A=0,b=1; rows 1..n A=-I, b=0.
+    A = np.vstack([np.zeros((1, n)), -np.eye(n)])
+    b = np.concatenate([[1.0], np.zeros(n)])
+    Ky = [ConeConstraint(Cone.SOC, range(n + 1))]
+    solver = ConeSolver(A, Ky=Ky, dtype=jnp.float64)
+    res = solver.solve(b, c, settings=_settings())
+    assert res.status == Status.SUCCESS
+    cn = np.linalg.norm(c)
+    np.testing.assert_allclose(np.asarray(res.x), -c / cn, atol=1e-4)
+    np.testing.assert_allclose(float(res.optval), -cn, atol=1e-4)
+
+
+def test_graph_cone_path_standard_lp(rng):
+    # Kx non-empty -> graph-form cone ADMM: min c'x s.t. Ax = b, x >= 0.
+    m, n = 6, 10
+    A = rng.normal(size=(m, n))
+    x0 = rng.random(n) + 0.1
+    b = A @ x0
+    c = rng.random(n) + 0.5  # positive costs -> bounded
+    Kx = [ConeConstraint(Cone.NON_NEG, range(n))]
+    Ky = [ConeConstraint(Cone.ZERO, range(m))]
+    solver = ConeSolver(A, Kx=Kx, Ky=Ky, dtype=jnp.float64)
+    res = solver.solve(b, c, settings=_settings(abs_tol=1e-7, rel_tol=1e-7))
+    assert res.status == Status.SUCCESS
+    x = np.asarray(res.x)
+    assert np.all(x >= -1e-5)
+    np.testing.assert_allclose(A @ x, b, atol=1e-3)
+    ref = linprog(c, A_eq=A, b_eq=b, bounds=(0, None), method="highs")
+    assert ref.success
+    np.testing.assert_allclose(float(res.optval), ref.fun, rtol=1e-2, atol=1e-3)
+
+
+def test_hsde_infeasible():
+    # x >= 1 and x <= 0: infeasible.
+    A = np.array([[-1.0], [1.0]])
+    b = np.array([-1.0, 0.0])
+    c = np.array([1.0])
+    Ky = [ConeConstraint(Cone.NON_NEG, [0, 1])]
+    solver = ConeSolver(A, Ky=Ky, dtype=jnp.float64)
+    res = solver.solve(b, c, settings=_settings(max_iter=5000))
+    assert res.status == Status.INFEASIBLE
+
+
+def test_hsde_unbounded():
+    # min -x s.t. x >= 0: unbounded below.
+    A = np.array([[-1.0]])
+    b = np.array([0.0])
+    c = np.array([-1.0])
+    Ky = [ConeConstraint(Cone.NON_NEG, [0])]
+    solver = ConeSolver(A, Ky=Ky, dtype=jnp.float64)
+    res = solver.solve(b, c, settings=_settings(max_iter=5000))
+    assert res.status == Status.UNBOUNDED
+
+
+@pytest.mark.parametrize("strategy", ["smw", "inverse", "cg"])
+def test_hsde_strategies_agree(rng, strategy):
+    m, n = 20, 10
+    A = rng.normal(size=(m, n))
+    b = A @ rng.random(n) + rng.random(m)
+    c = rng.normal(size=n)
+    A_full = np.vstack([A, np.eye(n), -np.eye(n)])
+    b_full = np.concatenate([b, 3 * np.ones(n), 3 * np.ones(n)])
+    Ky = [ConeConstraint(Cone.NON_NEG, range(A_full.shape[0]))]
+    solver = ConeSolver(A_full, Ky=Ky, strategy=strategy, dtype=jnp.float64)
+    res = solver.solve(b_full, c, settings=_settings())
+    assert res.status == Status.SUCCESS
+    ref = linprog(c, A_ub=A_full, b_ub=b_full, bounds=(None, None), method="highs")
+    np.testing.assert_allclose(float(res.optval), ref.fun, rtol=1e-3, atol=1e-4)
+
+
+def test_hsde_qp(rng):
+    # min 0.5 x'Px + c'x s.t. x >= 0, with P PSD. Oracle: projected closed
+    # form via active-set-free case (interior solution).
+    n = 6
+    M = rng.normal(size=(n, n))
+    P = M @ M.T + np.eye(n)
+    x_star = rng.random(n) + 0.5        # interior target
+    c = -(P @ x_star)                    # unconstrained optimum at x_star > 0
+    A = -np.eye(n)
+    b = np.zeros(n)
+    Ky = [ConeConstraint(Cone.NON_NEG, range(n))]
+    solver = ConeSolver(A, Ky=Ky, strategy="inverse", dtype=jnp.float64)
+    res = solver.solve(b, c, P=P, settings=_settings(max_iter=20000))
+    assert res.status == Status.SUCCESS
+    np.testing.assert_allclose(np.asarray(res.x), x_star, atol=1e-3)
