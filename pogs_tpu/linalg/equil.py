@@ -48,9 +48,16 @@ def sinkhorn_knopp(
     Alternates  e ← m / (Bᵀ d + reg_e)  and  d ← n / (B e + reg_d)  with
     regularizers reg = kSinkhornConst·(m+n)/m (resp. /n) to keep the
     iteration well-posed for matrices with zero rows/columns.
+    B may be a dense array or an operator with mv/rmv.
     """
-    m, n = B.shape
-    dt = B.dtype
+    if hasattr(B, "mv"):
+        bm, brm = B.mv, B.rmv
+        m, n = B.shape
+        dt = B.dtype
+    else:
+        bm, brm = (lambda v: B @ v), (lambda v: B.T @ v)
+        m, n = B.shape
+        dt = B.dtype
     reg_e = jnp.asarray(SINKHORN_CONST * (m + n) / m, dt)
     reg_d = jnp.asarray(SINKHORN_CONST * (m + n) / n, dt)
     cd = constrain_d if constrain_d is not None else lambda v: v
@@ -58,9 +65,9 @@ def sinkhorn_knopp(
 
     def body(_, de):
         d, e = de
-        e = ce(B.T @ d + reg_e)
+        e = ce(brm(d) + reg_e)
         e = jnp.asarray(m, dt) / e
-        d = cd(B @ e + reg_d)
+        d = cd(bm(e) + reg_d)
         d = jnp.asarray(n, dt) / d
         return (d, e)
 
@@ -70,23 +77,50 @@ def sinkhorn_knopp(
     return d, e
 
 
+class _SqOp:
+    """View of an operator's elementwise square, for Sinkhorn."""
+
+    def __init__(self, op):
+        self.op = op
+        self.shape = op.shape
+        self.dtype = op.dtype
+
+    def mv(self, v):
+        return self.op.sq_mv(v)
+
+    def rmv(self, v):
+        return self.op.sq_rmv(v)
+
+
 def equilibrate(
     A,
     constrain_d: Optional[Callable] = None,
     constrain_e: Optional[Callable] = None,
     iters: int = EQUIL_ITERS,
 ) -> EquilResult:
-    """Full equilibration pipeline (matrix_dense.cpp:116-200). Pure function."""
+    """Full equilibration pipeline (matrix_dense.cpp:116-200). Pure function.
+
+    A may be a dense jnp array or a matrix operator (DenseMatrix /
+    SparseMatrix); the returned EquilResult.A matches the input kind.
+    """
+    is_op = hasattr(A, "mv")
     m, n = A.shape
     dt = A.dtype
-    B = A * A
-    d, e = sinkhorn_knopp(B, constrain_d, constrain_e, iters)
+    if is_op:
+        d, e = sinkhorn_knopp(_SqOp(A), constrain_d, constrain_e, iters)
+    else:
+        d, e = sinkhorn_knopp(A * A, constrain_d, constrain_e, iters)
     d = jnp.sqrt(d)
     e = jnp.sqrt(e)
-    A_eq = A * d[:, None] * e[None, :]
     # Frobenius normalization to unit "average singular value"
     # (matrix_dense.cpp:183-192 with kNormNormalize = kNormFro).
-    norm_a = jnp.linalg.norm(A_eq) / jnp.sqrt(jnp.asarray(min(m, n), dt))
-    A_eq = A_eq / norm_a
+    if is_op:
+        A_eq = A.scale(d, e)
+        norm_a = jnp.sqrt(A_eq.frob2()) / jnp.sqrt(jnp.asarray(min(m, n), dt))
+        A_eq = A_eq.scalar_mul(1.0 / norm_a)
+    else:
+        A_eq = A * d[:, None] * e[None, :]
+        norm_a = jnp.linalg.norm(A_eq) / jnp.sqrt(jnp.asarray(min(m, n), dt))
+        A_eq = A_eq / norm_a
     scale = jnp.sqrt(norm_a)
     return EquilResult(A=A_eq, d=d / scale, e=e / scale)

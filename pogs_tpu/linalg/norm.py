@@ -17,6 +17,10 @@ def norm2_est(A, tol: float = NORM_EST_TOL, max_iter: int = NORM_EST_MAX_ITER, s
     """
     m, n = A.shape
     dt = A.dtype
+    if hasattr(A, "mv"):
+        amv, armv = A.mv, A.rmv
+    else:
+        amv, armv = (lambda v: A @ v), (lambda v: A.T @ v)
     x0 = jax.random.uniform(jax.random.PRNGKey(seed), (n,), dtype=jnp.float32).astype(dt)
     tol = jnp.asarray(tol, dt)
 
@@ -28,8 +32,8 @@ def norm2_est(A, tol: float = NORM_EST_TOL, max_iter: int = NORM_EST_MAX_ITER, s
 
     def body(carry):
         x, norm_est, _, i = carry
-        sx = A @ x
-        x = A.T @ sx
+        sx = amv(x)
+        x = armv(sx)
         normx = jnp.linalg.norm(x)
         norm_sx = jnp.linalg.norm(sx)
         x = x / normx

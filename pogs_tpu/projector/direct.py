@@ -30,6 +30,11 @@ from jax import lax
 _PRECISION = lax.Precision.HIGHEST
 
 
+def _as_dense(A):
+    """Operators materialize; arrays pass through."""
+    return A.dense() if hasattr(A, "dense") else A
+
+
 def _gram(A, trans: bool):
     """AᵀA (trans) or AAᵀ, at highest MXU precision."""
     if trans:
@@ -48,6 +53,7 @@ class DirectProjector:
 
     def init(self, A, s=1.0):
         """Factor (G + sI). Returns the solve-operator pytree."""
+        A = _as_dense(A)
         m, n = A.shape
         dt = A.dtype
         tall = m >= n
@@ -70,6 +76,7 @@ class DirectProjector:
 
     def project(self, A, factor, x0, y0, tol=None, x_warm=None):
         """Project (x0, y0) onto {(x, y) : y = A x}. tol/x_warm unused here."""
+        A = _as_dense(A)
         m, n = A.shape
         s = factor["s"]
         if m >= n:

@@ -30,11 +30,14 @@ class CglsProjector:
     def project(self, A, factor, x0, y0, tol, x_warm=None):
         s = factor["s"]
 
-        def matvec(v):
-            return jnp.matmul(A, v, precision=_PRECISION)
+        if hasattr(A, "mv"):
+            matvec, rmatvec = A.mv, A.rmv
+        else:
+            def matvec(v):
+                return jnp.matmul(A, v, precision=_PRECISION)
 
-        def rmatvec(v):
-            return jnp.matmul(A.T, v, precision=_PRECISION)
+            def rmatvec(v):
+                return jnp.matmul(A.T, v, precision=_PRECISION)
 
         b = y0 - matvec(x0)
         dx0 = (x_warm - x0) if x_warm is not None else jnp.zeros_like(x0)

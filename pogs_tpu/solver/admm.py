@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from pogs_tpu.types import SolverSettings, Status
+from pogs_tpu.solver.anderson import AndersonState, anderson_init, anderson_step
 
 _PRECISION = lax.Precision.HIGHEST
 
@@ -65,6 +66,7 @@ class LoopState(NamedTuple):
     eps_dua: jax.Array
     eps_gap: jax.Array
     prev_nrm_r: jax.Array
+    aa: AndersonState
 
 
 def admm_loop(
@@ -104,11 +106,14 @@ def admm_loop(
     max_iter = settings.max_iter
     one = jnp.asarray(1.0, dt)
 
-    def matvec(x):
-        return jnp.matmul(A, x, precision=_PRECISION)
+    if hasattr(A, "mv"):
+        matvec, rmatvec = A.mv, A.rmv
+    else:
+        def matvec(x):
+            return jnp.matmul(A, x, precision=_PRECISION)
 
-    def rmatvec(y):
-        return jnp.matmul(A.T, y, precision=_PRECISION)
+        def rmatvec(y):
+            return jnp.matmul(A.T, y, precision=_PRECISION)
 
     def nrm(v):
         return jnp.linalg.norm(v)
@@ -259,6 +264,7 @@ def admm_loop(
                           jnp.where(dn_apply, st.delta, one)),
             )
             zt_new = zt_new * zt_scale
+            rho_rescaled = zt_scale != one
             delta_new = jnp.where(
                 up_apply | dn_apply, K_GAMMA * st.delta,
                 jnp.where(bal_else, jnp.asarray(K_DELTA_MIN, dt), st.delta),
@@ -266,6 +272,22 @@ def admm_loop(
             xi_new = jnp.where(bal_both, st.xi * K_KAPPA, st.xi)
             ku_new = jnp.where(up_apply, kf, st.ku)
             kd_new = jnp.where(dn_apply, kf, st.kd)
+
+        # Anderson acceleration on the (z, z~) pair (experimental knob,
+        # off by default; docs/api/configuration.md:150-196). History is
+        # invalidated whenever rho rescales z~.
+        aa_state = st.aa
+        if settings.use_anderson:
+            s_prev = jnp.concatenate([zprev, st.zt])
+            s_vec = jnp.concatenate([z_new, zt_new])
+            s_acc, aa_state = anderson_step(aa_state, s_prev, s_vec)
+            if settings.adaptive_rho:
+                aa_state = aa_state._replace(
+                    k=jnp.where(rho_rescaled, 0, aa_state.k)
+                )
+            use_aa = (st.k >= settings.anderson_start) & jnp.logical_not(done)
+            z_new = jnp.where(use_aa, s_acc[: m + n], z_new)
+            zt_new = jnp.where(use_aa, s_acc[m + n:], zt_new)
 
         # Freeze post-convergence state (the reference breaks before the
         # dual/rho updates, pogs.cpp:391-394).
@@ -295,6 +317,7 @@ def admm_loop(
             eps_dua=eps_dua,
             eps_gap=eps_gap,
             prev_nrm_r=sel(nrm_r, st.prev_nrm_r),
+            aa=aa_state,
         )
 
     zeros = jnp.zeros((m + n,), dt)
@@ -319,6 +342,11 @@ def admm_loop(
         eps_dua=jnp.asarray(0.0, dt),
         eps_gap=jnp.asarray(0.0, dt),
         prev_nrm_r=jnp.asarray(jnp.finfo(dt).max, dt),
+        aa=anderson_init(
+            2 * (m + n) if settings.use_anderson else 0,
+            settings.anderson_mem if settings.use_anderson else 1,
+            dt,
+        ),
     )
 
     st = lax.while_loop(lambda s: jnp.logical_not(s.done), body, init)
@@ -365,7 +393,8 @@ def postsolve_verify(A, d, e, x12, y12, status, abs_tol, rel_tol):
     dt = A.dtype
     sqrtm_atol = jnp.sqrt(jnp.asarray(m, dt)) * jnp.asarray(abs_tol, dt)
     dm = jnp.where(d == 0, jnp.ones_like(d), d)
-    ax_orig = jnp.matmul(A, x12, precision=_PRECISION) / dm
+    ax = A.mv(x12) if hasattr(A, "mv") else jnp.matmul(A, x12, precision=_PRECISION)
+    ax_orig = ax / dm
     y_orig = y12 / dm
     r = ax_orig - y_orig
     res = jnp.linalg.norm(r)

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from pogs_tpu.types import Cone, ConeConstraint, SolverResult, SolverSettings, Status
 from pogs_tpu.cones.sets import ConeSet
 from pogs_tpu.linalg.equil import equilibrate
+from pogs_tpu.linalg.matrix import as_matrix_op
 from pogs_tpu.linalg.norm import norm2_est
 from pogs_tpu.projector.direct import DirectProjector
 from pogs_tpu.projector.indirect import CglsProjector
@@ -55,29 +56,34 @@ class ConeSolver:
         projector: str = "direct",
         dtype=None,
     ):
-        A_raw = np.asarray(A)
         if dtype is None:
-            dtype = jnp.result_type(A_raw.dtype, jnp.float32)
-        self.m, self.n = A_raw.shape
+            in_dtype = getattr(A, "dtype", None) or jnp.float32
+            dtype = jnp.result_type(in_dtype, jnp.float32)
+        self._A_raw = A
+        Aop = as_matrix_op(A, dtype)
+        self.m, self.n = Aop.shape
         self.Kx = ConeSet(list(Kx), self.n)
         self.Ky = ConeSet(list(Ky), self.m)
-        self._A_raw = A_raw
         # svec transform: conjugate SDP coordinates by the √2 off-diagonal
         # weights so all cone projections are true Euclidean projections.
         self._row_scale = self.Ky.svec_scale()
         self._col_scale = self.Kx.svec_scale()
         self._needs_svec = self.Ky.has_sdp or self.Kx.has_sdp
         if self._needs_svec:
-            A_raw = A_raw * self._row_scale[:, None] / self._col_scale[None, :]
-        self.A = jnp.asarray(A_raw, dtype)
-        self.dtype = self.A.dtype
+            Aop = Aop.scale(
+                jnp.asarray(self._row_scale, dtype),
+                jnp.asarray(1.0 / self._col_scale, dtype),
+            )
+        self.A = Aop
+        self.dtype = Aop.dtype
         base = settings or SolverSettings()
         # Cone problems run the graph loop in exact-tolerance mode
         # (PogsObjectiveCone::UseExactTol, pogs.cpp:784).
         self.settings = base.replace(use_exact_tol=True)
         self.use_hsde = self.Kx.is_empty
+        if self.A.is_sparse and projector == "direct":
+            projector = "cgls"  # sparse pairs with CGLS (pogs.cpp:1979-2010)
         self.projector = projector
-        dim = self.m + self.n + 1
         if strategy is None:
             strategy = "smw" if projector == "direct" else "cg"
         self.strategy = strategy
@@ -186,6 +192,10 @@ class ConeSolver:
 
         then minimize c'x + t through the (correct) conic HSDE path."""
         n, m = self.n, self.m
+        if self.A.is_sparse:
+            raise NotImplementedError(
+                "quadratic objectives with sparse A are not supported yet"
+            )
         npdt = np.dtype(str(self.dtype))
         P = np.asarray(P, np.float64)
         w, V = np.linalg.eigh((P + P.T) / 2)
@@ -261,9 +271,9 @@ class ConeSolver:
                 if strategy == "smw" and not has_P and self.projector == "direct":
                     # Reuse the cached Gram inverse (I + AᵀA)⁻¹ from init.
                     Kinv = init_state["factor"]["op"]
-                    rhs = c_s - jnp.matmul(A.T, b_s, precision=_PRECISION)
+                    rhs = c_s - A.rmv(b_s)
                     t_x = jnp.matmul(Kinv, rhs, precision=_PRECISION)
-                    t_y = b_s + jnp.matmul(A, t_x, precision=_PRECISION)
+                    t_y = b_s + A.mv(t_x)
                     s_den = 1.0 + jnp.vdot(c_s, t_x) + jnp.vdot(b_s, t_y)
                     smw_factor = {"Kinv": Kinv, "t_x": t_x, "t_y": t_y,
                                   "s_den": s_den}
@@ -278,7 +288,7 @@ class ConeSolver:
                 tau_safe = jnp.where(tau_ok, tau, 1.0)
                 x_s = w[:n] / tau_safe
                 y_s = w[n:n + m] / tau_safe
-                s_scaled = b_s - jnp.matmul(A, x_s, precision=_PRECISION)
+                s_scaled = b_s - A.mv(x_s)
                 # Unscale (pogs.cpp:1841-1865); zeros if tau ~ 0.
                 x = jnp.where(tau_ok, x_s * e, jnp.zeros(n, dt))
                 s_orig = s_scaled / d

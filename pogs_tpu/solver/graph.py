@@ -31,6 +31,7 @@ from pogs_tpu.types import (
 )
 from pogs_tpu.prox.vector import prox_eval, func_eval, scale_f, scale_g
 from pogs_tpu.linalg.equil import equilibrate
+from pogs_tpu.linalg.matrix import as_matrix_op
 from pogs_tpu.linalg.norm import norm2_est
 from pogs_tpu.projector.direct import DirectProjector
 from pogs_tpu.projector.indirect import CglsProjector
@@ -120,10 +121,10 @@ def _get_solve_fn(shape, dtype, h_f: np.ndarray, h_g: np.ndarray,
         # Warm start from (x0, nu0) (pogs.cpp:143-156).
         if has_x0:
             xs = jnp.asarray(opt["x0"], dt) / e
-            z0 = jnp.concatenate([xs, jnp.matmul(A, xs)])
+            z0 = jnp.concatenate([xs, A.mv(xs)])
         if has_nu0:
             nus = jnp.asarray(opt["nu0"], dt) / d
-            zt0 = jnp.concatenate([jnp.matmul(A.T, nus), -nus]) / rho0
+            zt0 = jnp.concatenate([A.rmv(nus), -nus]) / rho0
 
         def prox_fn(x_in, y_in, rho):
             return prox_eval(g_s, x_in, rho), prox_eval(f_s, y_in, rho)
@@ -174,10 +175,15 @@ class GraphFormSolver:
         settings: Optional[SolverSettings] = None,
     ):
         if dtype is None:
-            dtype = jnp.result_type(jnp.asarray(A).dtype, jnp.float32)
-        self.A = jnp.asarray(A, dtype)
+            in_dtype = getattr(A, "dtype", None) or jnp.float32
+            dtype = jnp.result_type(in_dtype, jnp.float32)
+        self.A = as_matrix_op(A, dtype)
         self.m, self.n = self.A.shape
         self.dtype = self.A.dtype
+        if self.A.is_sparse and projector == "direct":
+            # Parity with the reference: sparse matrices pair with the CGLS
+            # projector only (explicit instantiations, pogs.cpp:1979-2010).
+            projector = "cgls"
         self.projector = projector
         self.direct_method = direct_method
         self.settings = settings or SolverSettings()

@@ -60,25 +60,33 @@ def _mv(M, v):
     return jnp.matmul(M, v, precision=_PRECISION)
 
 
+def _ops(A):
+    """(matvec, rmatvec) for a dense array or a matrix operator."""
+    if hasattr(A, "mv"):
+        return A.mv, A.rmv
+    return (lambda x: _mv(A, x)), (lambda y: _mv(A.T, y))
+
+
 def make_q_matvec(A, b, c, P=None):
     """Q [x;y;τ] = [Px + Aᵀy + cτ; −Ax + bτ; −cᵀx − bᵀy] (pogs.cpp:1013-1040)."""
     m, n = A.shape
+    amv, armv = _ops(A)
 
     def q_matvec(u):
         x, y, tau = u[:n], u[n:n + m], u[n + m]
-        top = _mv(A.T, y) + c * tau
+        top = armv(y) + c * tau
         if P is not None:
             top = top + _mv(P, x)
-        mid = -_mv(A, x) + b * tau
+        mid = -amv(x) + b * tau
         bot = -jnp.vdot(c, x) - jnp.vdot(b, y)
         return jnp.concatenate([top, mid, bot[None]])
 
     def qt_matvec(u):
         x, y, tau = u[:n], u[n:n + m], u[n + m]
-        top = -_mv(A.T, y) - c * tau
+        top = -armv(y) - c * tau
         if P is not None:
             top = top + _mv(P, x)
-        mid = _mv(A, x) - b * tau
+        mid = amv(x) - b * tau
         bot = jnp.vdot(c, x) + jnp.vdot(b, y)
         return jnp.concatenate([top, mid, bot[None]])
 
@@ -93,9 +101,10 @@ def smw_setup(A, b, c, P=None):
     """Factor M = [I+P, Aᵀ; −A, I] via elimination: K = I + P + AᵀA, and
     precompute t = M⁻¹h, s_den = 1 + hᵀt for the rank-1 τ coupling
     (pogs.cpp:1141-1215)."""
-    m, n = A.shape
-    dt = A.dtype
-    K = jnp.eye(n, dtype=dt) + jnp.matmul(A.T, A, precision=_PRECISION)
+    Ad = A.dense() if hasattr(A, "dense") else A
+    m, n = Ad.shape
+    dt = Ad.dtype
+    K = jnp.eye(n, dtype=dt) + jnp.matmul(Ad.T, Ad, precision=_PRECISION)
     if P is not None:
         K = K + P
     L = jnp.linalg.cholesky(K)
@@ -103,9 +112,9 @@ def smw_setup(A, b, c, P=None):
     Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
     Kinv = jnp.matmul(Linv.T, Linv, precision=_PRECISION)
 
-    rhs = c - _mv(A.T, b)
+    rhs = c - _mv(Ad.T, b)
     t_x = _mv(Kinv, rhs)
-    t_y = b + _mv(A, t_x)
+    t_y = b + _mv(Ad, t_x)
     s_den = 1.0 + jnp.vdot(c, t_x) + jnp.vdot(b, t_y)
     return {"Kinv": Kinv, "t_x": t_x, "t_y": t_y, "s_den": s_den}
 
@@ -113,9 +122,10 @@ def smw_setup(A, b, c, P=None):
 def smw_solve(factor, A, b, c, u):
     """(I + Q)⁻¹ u via SMW back-substitution (pogs.cpp:1230-1284)."""
     m, n = A.shape
+    amv, armv = _ops(A)
     w_x, w_y, w_tau = u[:n], u[n:n + m], u[n + m]
-    p_x = _mv(factor["Kinv"], w_x - _mv(A.T, w_y))
-    p_y = w_y + _mv(A, p_x)
+    p_x = _mv(factor["Kinv"], w_x - armv(w_y))
+    p_y = w_y + amv(p_x)
     h_dot_p = jnp.vdot(c, p_x) + jnp.vdot(b, p_y)
     u_tau = (w_tau + h_dot_p) / factor["s_den"]
     out_x = p_x - factor["t_x"] * u_tau
@@ -125,6 +135,7 @@ def smw_solve(factor, A, b, c, u):
 
 def dense_q(A, b, c, P=None):
     """Materialize I + Q (dim×dim)."""
+    A = A.dense() if hasattr(A, "dense") else A
     m, n = A.shape
     dt = A.dtype
     dim = n + m + 1
@@ -145,8 +156,12 @@ def jacobi_inv_diag(A, b, c, P=None):
     """Jacobi preconditioner diag((I+Q)ᵀ(I+Q))⁻¹ (pogs.cpp:1483-1503)."""
     m, n = A.shape
     dt = A.dtype
-    col_a = jnp.sum(A * A, axis=0)   # column norms² of A (x block)
-    row_a = jnp.sum(A * A, axis=1)   # row norms² (y block)
+    if hasattr(A, "sq_rmv"):
+        col_a = A.sq_rmv(jnp.ones(m, dt))  # column norms² of A (x block)
+        row_a = A.sq_mv(jnp.ones(n, dt))   # row norms² (y block)
+    else:
+        col_a = jnp.sum(A * A, axis=0)
+        row_a = jnp.sum(A * A, axis=1)
     if P is not None:
         diag_p = jnp.diagonal(P)
         col_p = jnp.sum(P * P, axis=0)
@@ -234,6 +249,7 @@ def hsde_solve(
     dim = n + m + 1
     Ky_dual = Ky.dual()
 
+    amv, armv = _ops(A)
     q_matvec, qt_matvec = make_q_matvec(A, b, c, P)
 
     if strategy == "smw":
@@ -272,11 +288,11 @@ def hsde_solve(
         def tau_pos(_):
             x_s = w[:n] / tau
             y_s = w[n:n + m] / tau
-            s_s = b - _mv(A, x_s)
+            s_s = b - amv(x_s)
             r_pri = jnp.linalg.norm(s_s - Ky.project(s_s))
             s_norm = jnp.linalg.norm(s_s)
             r_dua_cone = jnp.linalg.norm(y_s - Ky_dual.project(y_s))
-            aty = _mv(A.T, y_s)
+            aty = armv(y_s)
             quad = jnp.asarray(0.0, dt)
             if P is not None:
                 px = _mv(P, x_s)
@@ -315,8 +331,8 @@ def hsde_solve(
             # i.e. −A x̂ in the recession cone of K_y — measured as the cone
             # distance.  (The reference tests ‖A x̂‖ = 0, pogs.cpp:1826,
             # which is only correct when every row is a Zero cone.)
-            ax_dist = Ky.distance(-_mv(A, x_h))
-            aty_norm = jnp.linalg.norm(_mv(A.T, y_h))
+            ax_dist = Ky.distance(-amv(x_h))
+            aty_norm = jnp.linalg.norm(armv(y_h))
             y_cone = jnp.linalg.norm(y_h - Ky_dual.project(y_h))
             p_norm = jnp.asarray(0.0, dt)
             if P is not None:

@@ -1,0 +1,94 @@
+"""Sparse-matrix path: BCOO operators through the CGLS projector / CG HSDE.
+
+Parity target: the reference's MatrixSparse × ProjectorCgls instantiations
+(src/cpu/pogs.cpp:1979-2010) and sparse benchmarks (examples/cpp_sp/).
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+import scipy.sparse as sp
+from scipy.optimize import linprog
+
+from pogs_tpu import (
+    Function, FunctionVector, GraphFormSolver, SolverSettings, Status,
+    solve_lasso,
+)
+from pogs_tpu.types import Cone, ConeConstraint
+from pogs_tpu.solver.cone import ConeSolver
+from pogs_tpu.linalg.matrix import as_matrix_op, SparseMatrix
+from pogs_tpu.linalg.equil import equilibrate
+
+
+def test_sparse_operator_contract(rng):
+    S = sp.random(30, 20, density=0.3, random_state=1, format="csr")
+    op = as_matrix_op(S, jnp.float64)
+    assert op.is_sparse
+    x = rng.normal(size=20)
+    y = rng.normal(size=30)
+    np.testing.assert_allclose(np.asarray(op.mv(jnp.asarray(x))), S @ x, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(op.rmv(jnp.asarray(y))), S.T @ y, atol=1e-12)
+    S2 = S.multiply(S)
+    np.testing.assert_allclose(np.asarray(op.sq_mv(jnp.asarray(x))), S2 @ x, atol=1e-12)
+    d = rng.random(30) + 0.5
+    e = rng.random(20) + 0.5
+    scaled = op.scale(jnp.asarray(d), jnp.asarray(e))
+    ref = sp.diags(d) @ S @ sp.diags(e)
+    np.testing.assert_allclose(np.asarray(scaled.mv(jnp.asarray(x))), ref @ x, atol=1e-12)
+    np.testing.assert_allclose(float(op.frob2()), (S.data**2).sum(), atol=1e-12)
+
+
+def test_sparse_equilibration_matches_dense(rng):
+    Sd = rng.normal(size=(25, 15)) * (rng.random((25, 15)) < 0.4)
+    S = sp.csr_matrix(Sd)
+    eq_dense = equilibrate(jnp.asarray(Sd, jnp.float64))
+    eq_sparse = equilibrate(as_matrix_op(S, jnp.float64))
+    np.testing.assert_allclose(np.asarray(eq_sparse.d), np.asarray(eq_dense.d), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(eq_sparse.e), np.asarray(eq_dense.e), rtol=1e-10)
+    x = rng.normal(size=15)
+    np.testing.assert_allclose(
+        np.asarray(eq_sparse.A.mv(jnp.asarray(x))),
+        np.asarray(eq_dense.A) @ x, rtol=1e-8,
+    )
+
+
+def test_sparse_lasso(rng):
+    m, n = 80, 40
+    Sd = rng.normal(size=(m, n)) * (rng.random((m, n)) < 0.3)
+    S = sp.csr_matrix(Sd)
+    b = rng.normal(size=m)
+    lam = 0.2 * np.max(np.abs(Sd.T @ b))
+    solver = GraphFormSolver(S, dtype=jnp.float64)
+    assert solver.projector == "cgls"  # sparse forces the indirect projector
+    f = FunctionVector(Function.SQUARE, m, b=b, dtype=jnp.float64)
+    g = FunctionVector(Function.ABS, n, c=lam, dtype=jnp.float64)
+    res = solver.solve(f, g, settings=SolverSettings(abs_tol=1e-7, rel_tol=1e-7))
+    assert res.status == Status.SUCCESS
+    x = np.asarray(res.x)
+    grad = Sd.T @ (Sd @ x - b)
+    viol = np.where(np.abs(x) > 1e-6, np.abs(grad + lam * np.sign(x)),
+                    np.maximum(np.abs(grad) - lam, 0.0))
+    assert np.max(viol) < 1e-2
+
+    # dense solve agrees
+    dense = solve_lasso(Sd, b, lam, abs_tol=1e-7, rel_tol=1e-7)
+    obj_s = 0.5 * np.sum((Sd @ x - b) ** 2) + lam * np.sum(np.abs(x))
+    obj_d = 0.5 * np.sum((Sd @ dense["x"] - b) ** 2) + lam * np.sum(np.abs(dense["x"]))
+    np.testing.assert_allclose(obj_s, obj_d, rtol=1e-4)
+
+
+def test_sparse_cone_lp(rng):
+    m0, n = 25, 12
+    Sd = rng.normal(size=(m0, n)) * (rng.random((m0, n)) < 0.5)
+    b0 = Sd @ rng.random(n) + rng.random(m0)
+    c = rng.normal(size=n)
+    A_full = sp.vstack([sp.csr_matrix(Sd), sp.eye(n), -sp.eye(n)]).tocsr()
+    b = np.concatenate([b0, 2 * np.ones(n), 2 * np.ones(n)])
+    Ky = [ConeConstraint(Cone.NON_NEG, range(A_full.shape[0]))]
+    solver = ConeSolver(A_full, Ky=Ky, dtype=jnp.float64)
+    assert solver.strategy == "cg" and solver.projector == "cgls"
+    res = solver.solve(b, c, settings=SolverSettings(
+        abs_tol=1e-6, rel_tol=1e-6, max_iter=20000))
+    assert res.status == Status.SUCCESS
+    ref = linprog(c, A_ub=A_full.toarray(), b_ub=b, bounds=(None, None), method="highs")
+    np.testing.assert_allclose(float(res.optval), ref.fun, rtol=1e-3, atol=1e-4)
