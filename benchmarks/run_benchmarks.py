@@ -1,0 +1,151 @@
+"""README benchmark suite: the reference's comparison table, TPU-native.
+
+Reproduces the workload of python/benchmarks/run_pogs_comparison.py (the
+generator of the README table: lasso / ridge / logistic / elastic net / svm
+at 500×300, default tolerances) plus cone-form problems, with honest
+remote-TPU timing: dispatch a batch of varied-input solves, sync once.
+
+Usage:
+    python benchmarks/run_benchmarks.py [--sizes] [--cone] [--reps N]
+
+Prints a markdown table and writes benchmarks/results.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from pogs_tpu import (  # noqa: E402
+    Function, FunctionVector, GraphFormSolver, SolverSettings, Status,
+    solve_cone_problem,
+)
+from benchmarks import problems  # noqa: E402
+
+# Reference timings (Apple M1, README.md:26-34) for the 500×300 table.
+REFERENCE_MS = {"lasso": 51, "ridge": 8, "logistic": 34,
+                "elastic_net": 45, "svm": 42}
+
+
+def _graph_spec(name, m, n, seed):
+    if name == "lasso":
+        p = problems.lasso(m, n, seed=seed)
+        f = FunctionVector(Function.SQUARE, m, b=p["b"], dtype=jnp.float32)
+        g = FunctionVector(Function.ABS, n, c=p["lambd"], dtype=jnp.float32)
+    elif name == "ridge":
+        p = problems.ridge(m, n, seed=seed)
+        f = FunctionVector(Function.SQUARE, m, b=p["b"], dtype=jnp.float32)
+        g = FunctionVector(Function.SQUARE, n, c=p["lambd"], dtype=jnp.float32)
+    elif name == "logistic":
+        p = problems.logistic(m, n, seed=seed)
+        f = FunctionVector(Function.LOGISTIC, m, a=-p["b"], dtype=jnp.float32)
+        g = FunctionVector(Function.ABS, n, c=p["lambd"], dtype=jnp.float32)
+    elif name == "elastic_net":
+        p = problems.elastic_net(m, n, seed=seed)
+        f = FunctionVector(Function.SQUARE, m, b=p["b"], dtype=jnp.float32)
+        g = FunctionVector(Function.ABS, n, c=p["lambda1"], e=p["lambda2"],
+                           dtype=jnp.float32)
+    elif name == "svm":
+        p = problems.svm(m, n, seed=seed)
+        f = FunctionVector(Function.MAXPOS0, m, a=-p["b"], b=-1.0, dtype=jnp.float32)
+        g = FunctionVector(Function.SQUARE, n, c=p["lambd"], dtype=jnp.float32)
+    else:
+        raise ValueError(name)
+    return p["A"].astype(np.float32), f, g
+
+
+def bench_graph(name, m=500, n=300, reps=30, seed=42):
+    """Pipelined cold-solve timing (see bench.py for methodology)."""
+    A, f, g = _graph_spec(name, m, n, seed)
+    settings = SolverSettings(abs_tol=1e-4, rel_tol=1e-3, gap_stop=False)
+    solver = GraphFormSolver(A, dtype=jnp.float32, settings=settings)
+    res = solver.solve(f, g)
+    status = res.status
+    iters = int(res.final_iter)
+
+    def run(i):
+        solver.reset_warm_start()
+        return solver.solve(f, g, rho=1.0 + 1e-4 * (i + 1), _no_sync=True)
+
+    def batch(k):
+        t0 = time.perf_counter()
+        outs = [run(k * reps + i) for i in range(reps)]
+        np.asarray(jnp.stack([o["optval"] for o in outs]))
+        return (time.perf_counter() - t0) * 1e3 / reps
+
+    batch(0)  # ramp
+    ms = float(np.median([batch(1), batch(2), batch(3)]))
+    return {"problem": name, "m": m, "n": n, "ms": round(ms, 3),
+            "iterations": iters, "status": status.name,
+            "ref_ms": REFERENCE_MS.get(name),
+            "speedup_vs_ref": round(REFERENCE_MS[name] / ms, 1)
+            if name in REFERENCE_MS else None}
+
+
+def bench_cone(name, reps=10, **kw):
+    gen = getattr(problems, name)
+    p = gen(**kw)
+    t0 = time.perf_counter()
+    out = solve_cone_problem(p["c"], p["A"], p["b"], p["dims"],
+                             P=p.get("P"), abs_tol=1e-4, rel_tol=1e-4,
+                             max_iter=20000)
+    wall = (time.perf_counter() - t0) * 1e3
+    return {"problem": name, "m": p["A"].shape[0], "n": p["A"].shape[1],
+            "ms_single_call": round(wall, 1), "iterations": out["num_iters"],
+            "status": out["status_name"]}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", action="store_true",
+                    help="also run the lasso size ladder (500..4000 rows)")
+    ap.add_argument("--cone", action="store_true", help="run cone-form suite")
+    ap.add_argument("--reps", type=int, default=30)
+    args = ap.parse_args()
+
+    results = []
+    print(f"backend: {jax.devices()[0].platform}\n")
+    print("| Problem | Size | time/solve | iters | ref (M1) | speedup |")
+    print("|---------|------|-----------:|------:|---------:|--------:|")
+    for name in ["lasso", "ridge", "logistic", "elastic_net", "svm"]:
+        r = bench_graph(name, reps=args.reps)
+        results.append(r)
+        print(f"| {r['problem']} | {r['m']}x{r['n']} | {r['ms']:.2f} ms "
+              f"| {r['iterations']} | {r['ref_ms']} ms | {r['speedup_vs_ref']}x |")
+
+    if args.sizes:
+        for m, n in [(500, 250), (1000, 500), (2000, 1000), (4000, 2000)]:
+            r = bench_graph("lasso", m=m, n=n, reps=max(args.reps // 3, 5))
+            results.append(r)
+            print(f"| lasso | {m}x{n} | {r['ms']:.2f} ms | {r['iterations']} | — | — |")
+
+    if args.cone:
+        print("\n| Cone problem | Size | wall (1 call) | iters | status |")
+        print("|--------------|------|--------------:|------:|--------|")
+        for name, kw in [("lp_ineq", {}), ("lp_eq", {}), ("qp_box", {}),
+                         ("socp_ball", {}), ("sdp_min_eig", {}),
+                         ("portfolio", {})]:
+            r = bench_cone(name, **kw)
+            results.append(r)
+            print(f"| {r['problem']} | {r['m']}x{r['n']} | {r['ms_single_call']} ms "
+                  f"| {r['iterations']} | {r['status']} |")
+
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "results.json")
+    with open(out_path, "w") as fh:
+        json.dump(results, fh, indent=2)
+    print(f"\nwrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -38,6 +38,12 @@ from pogs_tpu.prox import prox_eval, func_eval, proj_subgrad_eval
 from pogs_tpu.solver import SolverState, admm_solve, GraphFormSolver
 from pogs_tpu.solver.cone import ConeSolver
 from pogs_tpu.api.cone import solve_cone, solve_cone_problem, dims_to_cones, auto_rho
+from pogs_tpu.api.cvxpy_interface import (
+    pogs_solve,
+    detect_graph_form,
+    register_solver as register_cvxpy_solver,
+    HAS_CVXPY,
+)
 from pogs_tpu.api.graph import (
     solve_graph_form,
     solve_lasso,
@@ -71,6 +77,10 @@ __all__ = [
     "solve_cone_problem",
     "dims_to_cones",
     "auto_rho",
+    "pogs_solve",
+    "detect_graph_form",
+    "register_cvxpy_solver",
+    "HAS_CVXPY",
     "solve_graph_form",
     "solve_lasso",
     "solve_ridge",

@@ -61,12 +61,19 @@ def auto_rho(A, b, c, dims: dict, P=None, mode: Optional[str] = None,
     or ‖c‖/(‖b‖‖A‖_F) clamped [1e-4,10] for SOC/SDP/EXP/QP problems."""
     norm_c = float(np.linalg.norm(c))
     norm_b = float(np.linalg.norm(b))
+
+    def _frob(M):
+        if hasattr(M, "power"):  # scipy sparse
+            return float(np.sqrt(M.power(2).sum()))
+        if hasattr(M, "frob2"):
+            return float(np.sqrt(M.frob2()))
+        return float(np.linalg.norm(np.asarray(M)))
     has_nonsep = bool(dims.get("q")) or bool(dims.get("s")) \
         or int(dims.get("ep", 0) or 0) > 0 or int(dims.get("ed", 0) or 0) > 0
     if mode is None or mode == "auto":
         mode = "ratio_normA" if (has_nonsep or P is not None) else "ratio"
     if mode == "ratio_normA":
-        norm_A = float(np.linalg.norm(np.asarray(A)))
+        norm_A = _frob(A)
         if norm_b > 1e-10 and norm_c > 1e-10 and norm_A > 1e-10:
             rho = min(max(norm_c / (norm_b * norm_A), 1e-4), 1e1)
         else:
@@ -99,6 +106,7 @@ def solve_cone(
     dtype=None,
     strategy: Optional[str] = None,
     solver: Optional[ConeSolver] = None,
+    assume_svec: bool = False,
 ):
     """General cone-form solve; returns the reference result-dict contract."""
     settings = SolverSettings(
@@ -107,7 +115,8 @@ def solve_cone(
     )
     if solver is None:
         solver = ConeSolver(A, Kx=Kx, Ky=Ky, settings=settings,
-                            strategy=strategy, dtype=dtype)
+                            strategy=strategy, dtype=dtype,
+                            assume_svec=assume_svec)
     if rho is not None:
         solver.rho = float(rho)
     t0 = time.perf_counter()
@@ -130,7 +139,7 @@ def solve_cone(
     }
     out["s"] = np.asarray(b) - out["y"]
     # Primal residual diagnostic (pogs_cvxpy.py:296-311).
-    r = np.asarray(A) @ out["x"] - out["y"]
+    r = A @ out["x"] - out["y"] if hasattr(A, "dot") else np.asarray(A) @ out["x"] - out["y"]
     primal_res = float(np.linalg.norm(r))
     eps_pri = float(
         np.sqrt(len(out["y"])) * abs_tol
@@ -160,7 +169,8 @@ def solve_cone_problem(
     **kw,
 ):
     """SCS-style entry point (pogs_cvxpy.py:76-356): c, A, b, dims."""
-    A = np.asarray(A)
+    if not hasattr(A, "tocoo"):  # keep scipy sparse as-is
+        A = np.asarray(A)
     cones_y = dims_to_cones(dims)
     if rho is None:
         rho = auto_rho(A, b, c, dims, P=P, mode=rho_mode, scale=rho_scale)

@@ -12,6 +12,7 @@ exponential cones.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 E1 = 2.718281828459045  # e
@@ -75,7 +76,8 @@ def project_sdp_packed(v, nmat: int, scaled: bool = False):
     X = X.at[:, cols, rows].set(vmat)
     w, V = jnp.linalg.eigh(X)
     w = jnp.maximum(w, 0.0)
-    Xp = jnp.einsum("kil,kl,kjl->kij", V, w, V)
+    Xp = jnp.einsum("kil,kl,kjl->kij", V, w, V,
+                    precision=jax.lax.Precision.HIGHEST)
     out = Xp[:, rows, cols]
     if scaled:
         out = out * (1.0 + off * (np.sqrt(2.0) - 1.0))  # off-diag * sqrt(2)

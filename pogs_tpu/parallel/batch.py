@@ -24,6 +24,7 @@ from pogs_tpu.linalg.equil import equilibrate
 from pogs_tpu.linalg.norm import norm2_est
 from pogs_tpu.projector.direct import DirectProjector
 from pogs_tpu.solver.admm import admm_loop
+from pogs_tpu.utils.precision import highest_precision
 
 _BATCH_CACHE: dict = {}
 
@@ -110,7 +111,7 @@ def batched_graph_solve(
         if mesh is not None:
             batch_sharding = NamedSharding(mesh, P(batch_axis))
             fn = jax.jit(
-                solve_all,
+                highest_precision(solve_all),
                 in_shardings=(
                     NamedSharding(mesh, P()),  # A replicated (row-shard via device_put upstream)
                     None, None,
@@ -118,7 +119,7 @@ def batched_graph_solve(
                 ),
             )
         else:
-            fn = jax.jit(solve_all)
+            fn = jax.jit(highest_precision(solve_all))
         _BATCH_CACHE[key] = fn
 
     npdt = np.dtype(str(dt))

@@ -33,6 +33,7 @@ from pogs_tpu.projector.direct import DirectProjector
 from pogs_tpu.projector.indirect import CglsProjector
 from pogs_tpu.solver.admm import admm_loop, postsolve_verify
 from pogs_tpu.solver.hsde import hsde_solve, smw_solve
+from pogs_tpu.utils.precision import highest_precision
 
 _PRECISION = jax.lax.Precision.HIGHEST
 _CONE_INIT_CACHE: dict = {}
@@ -55,6 +56,7 @@ class ConeSolver:
         strategy: Optional[str] = None,
         projector: str = "direct",
         dtype=None,
+        assume_svec: bool = False,
     ):
         if dtype is None:
             in_dtype = getattr(A, "dtype", None) or jnp.float32
@@ -68,7 +70,9 @@ class ConeSolver:
         # weights so all cone projections are true Euclidean projections.
         self._row_scale = self.Ky.svec_scale()
         self._col_scale = self.Kx.svec_scale()
-        self._needs_svec = self.Ky.has_sdp or self.Kx.has_sdp
+        # assume_svec: caller's data is already in svec (sqrt-2) convention
+        # (e.g. CVXPY/SCS conic data) - skip the internal transform.
+        self._needs_svec = (self.Ky.has_sdp or self.Kx.has_sdp) and not assume_svec
         if self._needs_svec:
             Aop = Aop.scale(
                 jnp.asarray(self._row_scale, dtype),
@@ -116,7 +120,7 @@ class ConeSolver:
                 return {"A": eq.A, "d": eq.d, "e": eq.e,
                         "norm_A": norm_A, "factor": factor}
 
-            fn = jax.jit(init_fn)
+            fn = jax.jit(highest_precision(init_fn))
             _CONE_INIT_CACHE[key] = fn
         self._init_state = fn(self.A)
         return self
@@ -150,7 +154,7 @@ class ConeSolver:
         )
         fn = _CONE_SOLVE_CACHE.get(key)
         if fn is None:
-            fn = jax.jit(self._build_solve(settings, P is not None))
+            fn = jax.jit(highest_precision(self._build_solve(settings, P is not None)))
             _CONE_SOLVE_CACHE[key] = fn
 
         npdt = np.dtype(str(self.dtype))

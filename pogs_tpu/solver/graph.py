@@ -36,6 +36,7 @@ from pogs_tpu.linalg.norm import norm2_est
 from pogs_tpu.projector.direct import DirectProjector
 from pogs_tpu.projector.indirect import CglsProjector
 from pogs_tpu.solver.admm import admm_loop, postsolve_verify
+from pogs_tpu.utils.precision import highest_precision
 
 _INIT_CACHE: dict = {}
 _SOLVE_CACHE: dict = {}
@@ -61,7 +62,7 @@ def _get_init_fn(shape, dtype, kind, direct_method, cgls_max_iter):
             factor = projector.init(eq.A, s=1.0)
             return {"A": eq.A, "d": eq.d, "e": eq.e, "norm_A": norm_A, "factor": factor}
 
-        fn = jax.jit(init)
+        fn = jax.jit(highest_precision(init))
         _INIT_CACHE[key] = fn
     return fn
 
@@ -153,7 +154,7 @@ def _get_solve_fn(shape, dtype, h_f: np.ndarray, h_g: np.ndarray,
         out["nu"] = out.pop("nu_scaled") * d
         return out
 
-    fn = jax.jit(solve)
+    fn = jax.jit(highest_precision(solve))
     _SOLVE_CACHE[key] = fn
     return fn
 
