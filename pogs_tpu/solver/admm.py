@@ -42,6 +42,13 @@ K_GAMMA = 1.01
 K_TAU = 0.8
 K_RHO_MIN = 1e-4
 K_RHO_MAX = 1e4
+# f32 needs tighter rho bounds: z̃ = dual/ρ grows as ρ shrinks, and the dual
+# residual Aᵀ(y12+ỹ−yprev)+... then sits on an f32 cancellation floor above
+# eps_dua (∝ ρ) — adaptive ρ can spiral to K_RHO_MIN and stall convergence
+# permanently.  Equilibrated problems have unit scale, so [1e-2, 1e2] loses
+# nothing.  (f64 keeps the reference's [1e-4, 1e4].)
+K_RHO_MIN_F32 = 1e-2
+K_RHO_MAX_F32 = 1e2
 K_KAPPA = 0.9
 
 
@@ -215,6 +222,8 @@ def admm_loop(
             rho, st.delta, st.xi, st.kd, st.ku
         )
         if settings.adaptive_rho:
+            rho_min = K_RHO_MIN_F32 if dt == jnp.float32 else K_RHO_MIN
+            rho_max = K_RHO_MAX_F32 if dt == jnp.float32 else K_RHO_MAX
             freq = 10 if exact_mode else 50
             change_max = jnp.asarray(2.0 if exact_mode else 1.5, dt)
             change_min = jnp.asarray(0.5 if exact_mode else 0.67, dt)
@@ -230,7 +239,7 @@ def admm_loop(
                 & ((imb > imb_thresh) | (imb < one / imb_thresh))
             )
             rho_ratio = jnp.clip(jnp.sqrt(imb), change_min, change_max)
-            rho_spec = jnp.clip(rho * rho_ratio, K_RHO_MIN, K_RHO_MAX)
+            rho_spec = jnp.clip(rho * rho_ratio, rho_min, rho_max)
             spec_apply = spec_slot & spec_cond & (jnp.abs(rho_spec - rho) / rho > 0.05)
 
             kf = st.k.astype(dt)
@@ -250,8 +259,8 @@ def admm_loop(
                 bal_slot & jnp.logical_not(bal_up) & jnp.logical_not(bal_dn)
                 & jnp.logical_not(bal_both)
             )
-            up_apply = bal_up & (rho < K_RHO_MAX)
-            dn_apply = bal_dn & (rho > K_RHO_MIN)
+            up_apply = bal_up & (rho < rho_max)
+            dn_apply = bal_dn & (rho > rho_min)
 
             rho_new = jnp.where(
                 spec_apply, rho_spec,
