@@ -1,0 +1,326 @@
+"""ctypes bindings to the native host runtime (libpogs_tpu_native).
+
+The native library (src/native/, C ABI in src/include/pogs_tpu_native.h) is
+the host-side counterpart of the TPU solve path: a dependency-free C++
+implementation of the same graph-form ADMM algorithm.  It serves
+
+  * non-Python callers (the C ABI — parity with the reference's
+    src/interface_c/pogs_c.h, reached from Python the same way the
+    reference's packaged wheel works: pure ctypes, no pybind),
+  * latency-critical small problems, where a host solve beats a device
+    dispatch, and
+  * cross-checking: an independent numerics oracle for the TPU solver
+    (see tests/test_native.py).
+
+Use :func:`is_available` to probe, :func:`build` to compile the library
+in-tree (requires cmake + a C++20 compiler), and :class:`NativeDenseSolver`
+/ :class:`NativeSparseSolver` or :func:`solve_graph_native` to solve.
+"""
+
+from __future__ import annotations
+
+import ctypes as ct
+import os
+import subprocess
+import sys
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from pogs_tpu.types import FunctionVector, SolverSettings, Status
+
+_REPO_ROOT = Path(__file__).resolve().parents[2]
+
+_LIB_NAMES = (
+    "libpogs_tpu_native.so",
+    "libpogs_tpu_native.dylib",
+    "pogs_tpu_native.dll",
+)
+
+
+def _candidate_paths():
+    env = os.environ.get("POGS_TPU_NATIVE_LIB")
+    if env:
+        yield Path(env)
+    here = Path(__file__).resolve().parent
+    for name in _LIB_NAMES:
+        yield here / name
+        yield _REPO_ROOT / "build" / "lib" / name
+
+
+_lib: Optional[ct.CDLL] = None
+_lib_checked = False
+
+
+class PogsNativeSettings(ct.Structure):
+    _fields_ = [
+        ("abs_tol", ct.c_double),
+        ("rel_tol", ct.c_double),
+        ("rho", ct.c_double),
+        ("max_iter", ct.c_int32),
+        ("verbose", ct.c_int32),
+        ("adaptive_rho", ct.c_int32),
+        ("gap_stop", ct.c_int32),
+        ("warm_start", ct.c_int32),
+        ("cgls_max_iter", ct.c_int32),
+    ]
+
+
+class PogsNativeInfo(ct.Structure):
+    _fields_ = [
+        ("optval", ct.c_double),
+        ("final_iter", ct.c_int32),
+        ("status", ct.c_int32),
+        ("nrm_r", ct.c_double),
+        ("nrm_s", ct.c_double),
+        ("gap", ct.c_double),
+        ("rho_final", ct.c_double),
+    ]
+
+
+_D = ct.POINTER(ct.c_double)
+_I32 = ct.POINTER(ct.c_int32)
+_I64 = ct.POINTER(ct.c_int64)
+
+
+def _bind(lib: ct.CDLL) -> ct.CDLL:
+    lib.pogs_native_settings_default.argtypes = [ct.POINTER(PogsNativeSettings)]
+    lib.pogs_native_settings_default.restype = None
+    lib.pogs_native_version.restype = ct.c_int32
+
+    lib.pogs_native_dense_new.argtypes = [ct.c_int32, ct.c_size_t, ct.c_size_t, _D]
+    lib.pogs_native_dense_new.restype = ct.c_void_p
+    lib.pogs_native_dense_free.argtypes = [ct.c_void_p]
+    lib.pogs_native_dense_free.restype = None
+    lib.pogs_native_dense_solve.argtypes = (
+        [ct.c_void_p, ct.POINTER(PogsNativeSettings)]
+        + [_I32] + [_D] * 5 + [_I32] + [_D] * 5
+        + [_D] * 4 + [ct.POINTER(PogsNativeInfo)]
+    )
+    lib.pogs_native_dense_solve.restype = ct.c_int32
+
+    lib.pogs_native_sparse_new.argtypes = [
+        ct.c_size_t, ct.c_size_t, ct.c_size_t, _I64, _I64, _D,
+    ]
+    lib.pogs_native_sparse_new.restype = ct.c_void_p
+    lib.pogs_native_sparse_free.argtypes = [ct.c_void_p]
+    lib.pogs_native_sparse_free.restype = None
+    lib.pogs_native_sparse_solve.argtypes = lib.pogs_native_dense_solve.argtypes
+    lib.pogs_native_sparse_solve.restype = ct.c_int32
+    return lib
+
+
+def _load() -> Optional[ct.CDLL]:
+    global _lib, _lib_checked
+    if _lib_checked:
+        return _lib
+    _lib_checked = True
+    for path in _candidate_paths():
+        if path.is_file():
+            try:
+                _lib = _bind(ct.CDLL(str(path)))
+                return _lib
+            except OSError:
+                continue
+    return None
+
+
+def is_available() -> bool:
+    """True if the native library is loadable."""
+    return _load() is not None
+
+
+def build(build_dir: Optional[Path] = None, quiet: bool = True) -> Path:
+    """Compile the native library in-tree with cmake+ninja (or make).
+
+    Returns the path to the built library; raises on failure.
+    """
+    global _lib_checked, _lib
+    build_dir = Path(build_dir) if build_dir else _REPO_ROOT / "build"
+    out = subprocess.run(
+        ["cmake", "-S", str(_REPO_ROOT), "-B", str(build_dir),
+         "-DCMAKE_BUILD_TYPE=Release"],
+        capture_output=quiet, text=True,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(f"cmake configure failed:\n{out.stderr}")
+    out = subprocess.run(
+        ["cmake", "--build", str(build_dir), "--target", "pogs_tpu_native"],
+        capture_output=quiet, text=True,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(f"cmake build failed:\n{out.stderr}")
+    _lib_checked = False
+    _lib = None
+    if not is_available():
+        raise RuntimeError("native library built but not loadable")
+    for p in _candidate_paths():
+        if p.is_file():
+            return p
+    raise RuntimeError("unreachable")
+
+
+def version() -> int:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not available")
+    return int(lib.pogs_native_version())
+
+
+def _settings_struct(settings: SolverSettings, warm_start: bool) -> PogsNativeSettings:
+    lib = _load()
+    st = PogsNativeSettings()
+    lib.pogs_native_settings_default(ct.byref(st))
+    st.abs_tol = settings.abs_tol
+    st.rel_tol = settings.rel_tol
+    st.rho = settings.rho
+    st.max_iter = settings.max_iter
+    st.verbose = settings.verbose
+    st.adaptive_rho = int(settings.adaptive_rho)
+    st.gap_stop = int(settings.gap_stop)
+    st.warm_start = int(warm_start)
+    st.cgls_max_iter = settings.cgls_max_iter
+    return st
+
+
+def _fv_arrays(fv: FunctionVector, n: int):
+    h = np.ascontiguousarray(fv.h, dtype=np.int32)
+    if h.shape[0] != n:
+        raise ValueError(f"objective length {h.shape[0]} != {n}")
+    params = [np.ascontiguousarray(np.asarray(p, dtype=np.float64))
+              for p in fv.params]
+    ptrs = [h.ctypes.data_as(_I32)] + [p.ctypes.data_as(_D) for p in params]
+    return ptrs, (h, params)  # keep refs alive
+
+
+class _NativeSolverBase:
+    """Shared solve plumbing for the dense/sparse handles."""
+
+    _handle = None
+    m = 0
+    n = 0
+
+    def _solve_fn(self):
+        raise NotImplementedError
+
+    def solve(self, f: FunctionVector, g: FunctionVector,
+              settings: Optional[SolverSettings] = None,
+              warm_start: bool = False) -> dict:
+        if self._handle is None:
+            raise RuntimeError("solver already freed")
+        settings = settings or SolverSettings()
+        st = _settings_struct(settings, warm_start)
+        f_ptrs, f_keep = _fv_arrays(f, self.m)
+        g_ptrs, g_keep = _fv_arrays(g, self.n)
+        x = np.empty(self.n)
+        y = np.empty(self.m)
+        mu = np.empty(self.n)
+        nu = np.empty(self.m)
+        info = PogsNativeInfo()
+        status = self._solve_fn()(
+            self._handle, ct.byref(st), *f_ptrs, *g_ptrs,
+            x.ctypes.data_as(_D), y.ctypes.data_as(_D),
+            mu.ctypes.data_as(_D), nu.ctypes.data_as(_D), ct.byref(info),
+        )
+        del f_keep, g_keep
+        return {
+            "x": x, "y": y, "mu": mu, "l": nu,
+            "optval": float(info.optval),
+            "iterations": int(info.final_iter),
+            "status": Status(int(status)),
+            "nrm_r": float(info.nrm_r),
+            "nrm_s": float(info.nrm_s),
+            "rho": float(info.rho_final),
+        }
+
+    def free(self):
+        if self._handle is not None:
+            self._free_fn()(self._handle)
+            self._handle = None
+
+    def __del__(self):  # pragma: no cover - GC timing
+        try:
+            self.free()
+        except Exception:
+            pass
+
+
+class NativeDenseSolver(_NativeSolverBase):
+    """Handle-based dense solver (factorization + warm start persist)."""
+
+    def __init__(self, A):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError(
+                "native library not available; run pogs_tpu.native.build()"
+            )
+        A = np.ascontiguousarray(np.asarray(A, dtype=np.float64))
+        if A.ndim != 2:
+            raise ValueError("A must be 2-D")
+        self.m, self.n = A.shape
+        self._lib = lib
+        self._handle = lib.pogs_native_dense_new(
+            0, self.m, self.n, A.ctypes.data_as(_D)
+        )
+        if not self._handle:
+            raise RuntimeError("pogs_native_dense_new failed")
+
+    def _solve_fn(self):
+        return self._lib.pogs_native_dense_solve
+
+    def _free_fn(self):
+        return self._lib.pogs_native_dense_free
+
+
+class NativeSparseSolver(_NativeSolverBase):
+    """Handle-based CSR solver (CGLS projector)."""
+
+    def __init__(self, A):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError(
+                "native library not available; run pogs_tpu.native.build()"
+            )
+        try:
+            import scipy.sparse as sp
+            A = sp.csr_matrix(A)
+        except ImportError as exc:  # pragma: no cover
+            raise RuntimeError("scipy required for the sparse native path") from exc
+        self.m, self.n = A.shape
+        indptr = np.ascontiguousarray(A.indptr, dtype=np.int64)
+        indices = np.ascontiguousarray(A.indices, dtype=np.int64)
+        data = np.ascontiguousarray(A.data, dtype=np.float64)
+        self._lib = lib
+        self._handle = lib.pogs_native_sparse_new(
+            self.m, self.n, data.shape[0],
+            indptr.ctypes.data_as(_I64), indices.ctypes.data_as(_I64),
+            data.ctypes.data_as(_D),
+        )
+        if not self._handle:
+            raise RuntimeError("pogs_native_sparse_new failed")
+
+    def _solve_fn(self):
+        return self._lib.pogs_native_sparse_solve
+
+    def _free_fn(self):
+        return self._lib.pogs_native_sparse_free
+
+
+def solve_graph_native(A, f: FunctionVector, g: FunctionVector,
+                       settings: Optional[SolverSettings] = None, **kw) -> dict:
+    """One-shot native solve of min f(y) + g(x) s.t. y = Ax.
+
+    Dense ndarray inputs use the direct projector; scipy-sparse inputs use
+    CGLS.  Accepts the same keyword tolerances as the Python API.
+    """
+    if settings is None:
+        settings = SolverSettings(**kw) if kw else SolverSettings()
+    if hasattr(A, "tocsr"):
+        solver = NativeSparseSolver(A)
+    else:
+        solver = NativeDenseSolver(A)
+    try:
+        return solver.solve(f, g, settings)
+    finally:
+        solver.free()

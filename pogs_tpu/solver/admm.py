@@ -144,8 +144,13 @@ def admm_loop(
         # --- Over-relaxed projection input (pogs.cpp:276-278) --------------
         z_or = st.zt + alpha * z12 + (one - alpha) * zprev
 
-        # Residual-tied projection tolerance.
+        # Residual-tied projection tolerance.  The raw ladder has a fixed
+        # point at r = tol_min^(1/(1-p)) (normal mode: r = 0.01*sqrt(r)
+        # stalls at 1e-4): an inexact (CGLS) projector stops exactly at
+        # proj_tol, so the ADMM residual can never drop below it.  Capping
+        # by abs_tol keeps the projection error under the target accuracy.
         proj_tol = proj_tol_min * jnp.power(jnp.minimum(st.prev_nrm_r, one), proj_pow)
+        proj_tol = jnp.minimum(proj_tol, abs_tol)
         proj_tol = jnp.maximum(proj_tol, proj_tol_max)
 
         x_new, y_new = project_fn(z_or[:n], z_or[n:], proj_tol, zprev[:n])

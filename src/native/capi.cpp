@@ -1,0 +1,415 @@
+// C ABI implementation for the pogs_tpu native host runtime.
+//
+// Wires the templated core (admm.hpp / prox.hpp / linalg.hpp) to the flat C
+// surface declared in src/include/pogs_tpu_native.h.  Counterpart of the
+// reference's src/interface_c/pogs_c.cpp, redesigned handle-first so the
+// equilibration/factorization and warm-start iterate persist across solves.
+
+#include "../include/pogs_tpu_native.h"
+
+#include <algorithm>
+#include <cstring>
+#include <memory>
+#include <new>
+#include <vector>
+
+#include "admm.hpp"
+#include "linalg.hpp"
+#include "prox.hpp"
+
+namespace pn = pogs_native;
+
+extern "C" void pogs_native_settings_default(PogsNativeSettings* s) {
+  s->abs_tol = 1e-4;
+  s->rel_tol = 1e-3;
+  s->rho = 1.0;
+  s->max_iter = 2500;
+  s->verbose = 0;
+  s->adaptive_rho = 1;
+  s->gap_stop = 0;
+  s->warm_start = 0;
+  s->cgls_max_iter = 500;
+}
+
+extern "C" int32_t pogs_native_version(void) { return 10000; /* 1.0.0 */ }
+
+namespace {
+
+pn::Settings to_settings(const PogsNativeSettings* s) {
+  pn::Settings out;
+  if (!s) return out;
+  out.abs_tol = s->abs_tol;
+  out.rel_tol = s->rel_tol;
+  out.rho = s->rho;
+  out.max_iter = s->max_iter;
+  out.verbose = s->verbose;
+  out.adaptive_rho = s->adaptive_rho != 0;
+  out.gap_stop = s->gap_stop != 0;
+  out.cgls_max_iter = s->cgls_max_iter;
+  return out;
+}
+
+// Objective scaling by the equilibration (reference pogs.cpp:608-617; same
+// as pogs_tpu/prox/vector.py scale_f / scale_g), with the convexity clamps
+// c,e >= 0 (prox_lib.h:62-69).
+struct ScaledObjective {
+  std::vector<std::int32_t> h;
+  std::vector<double> a, b, c, d, e;
+
+  template <typename T>
+  void load(std::size_t n, const std::int32_t* hh, const T* aa, const T* bb,
+            const T* cc, const T* dd, const T* ee) {
+    h.assign(hh, hh + n);
+    a.resize(n); b.resize(n); c.resize(n); d.resize(n); e.resize(n);
+    for (std::size_t i = 0; i < n; ++i) {
+      a[i] = aa ? double(aa[i]) : 1.0;
+      b[i] = bb ? double(bb[i]) : 0.0;
+      c[i] = std::max(cc ? double(cc[i]) : 1.0, 0.0);
+      d[i] = dd ? double(dd[i]) : 0.0;
+      e[i] = std::max(ee ? double(ee[i]) : 0.0, 0.0);
+    }
+  }
+
+  // f scales by the row equilibration d: a,d /= d_i, e /= d_i^2.
+  void scale_rows(const std::vector<double>& drow) {
+    for (std::size_t i = 0; i < h.size(); ++i) {
+      a[i] /= drow[i];
+      d[i] /= drow[i];
+      e[i] /= drow[i] * drow[i];
+    }
+  }
+
+  // g scales by the column equilibration e: a,d *= e_j, e *= e_j^2.
+  void scale_cols(const std::vector<double>& ecol) {
+    for (std::size_t j = 0; j < h.size(); ++j) {
+      a[j] *= ecol[j];
+      d[j] *= ecol[j];
+      e[j] *= ecol[j] * ecol[j];
+    }
+  }
+
+  pn::FunctionArrays<double> view() const {
+    return {h.data(), a.data(), b.data(), c.data(), d.data(), e.data()};
+  }
+};
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// Dense handle.
+// ---------------------------------------------------------------------------
+
+struct PogsNativeDense {
+  std::size_t m = 0, n = 0;
+  std::vector<double> A;  // row-major, equilibrated in place on init
+  std::vector<double> d, e;
+  double norm_A = 1.0;
+  pn::DirectFactor factor;
+  bool initialized = false;
+  bool init_failed = false;
+  pn::WarmState warm;
+
+  pn::LinOp linop() {
+    pn::LinOp op;
+    op.m = m;
+    op.n = n;
+    double* Ap = A.data();
+    const std::size_t mm = m, nn = n;
+    op.mv = [Ap, mm, nn](const double* x, double* y) {
+      pn::gemv(mm, nn, Ap, x, y);
+    };
+    op.rmv = [Ap, mm, nn](const double* x, double* y) {
+      pn::gemv_t(mm, nn, Ap, x, y);
+    };
+    op.sq_mv = [Ap, mm, nn](const double* x, double* y) {
+      for (std::size_t i = 0; i < mm; ++i) {
+        double acc = 0.0;
+        const double* row = Ap + i * nn;
+        for (std::size_t j = 0; j < nn; ++j) acc += row[j] * row[j] * x[j];
+        y[i] = acc;
+      }
+    };
+    op.sq_rmv = [Ap, mm, nn](const double* x, double* y) {
+      std::vector<double> acc(nn, 0.0);
+      for (std::size_t i = 0; i < mm; ++i) {
+        const double* row = Ap + i * nn;
+        for (std::size_t j = 0; j < nn; ++j) acc[j] += row[j] * row[j] * x[i];
+      }
+      for (std::size_t j = 0; j < nn; ++j) y[j] = acc[j];
+    };
+    op.rescale = [Ap, mm, nn](const double* dd, const double* ee, double s) {
+      for (std::size_t i = 0; i < mm; ++i) {
+        double* row = Ap + i * nn;
+        for (std::size_t j = 0; j < nn; ++j) row[j] *= dd[i] * ee[j] * s;
+      }
+    };
+    return op;
+  }
+
+  bool ensure_init() {
+    if (initialized) return !init_failed;
+    initialized = true;
+    pn::LinOp op = linop();
+    pn::equilibrate(op, 0.0, d, e);
+    norm_A = pn::norm2_est(op);
+    init_failed = !pn::direct_init(m, n, A.data(), factor);
+    return !init_failed;
+  }
+};
+
+extern "C" PogsNativeDense* pogs_native_dense_new(int32_t ord, size_t m,
+                                                  size_t n, const double* A) {
+  if (!A || m == 0 || n == 0) return nullptr;
+  auto* s = new (std::nothrow) PogsNativeDense;
+  if (!s) return nullptr;
+  s->m = m;
+  s->n = n;
+  s->A.resize(m * n);
+  if (ord == POGS_NATIVE_ROW_MAJ) {
+    std::copy(A, A + m * n, s->A.begin());
+  } else {
+    for (size_t i = 0; i < m; ++i)
+      for (size_t j = 0; j < n; ++j) s->A[i * n + j] = A[j * m + i];
+  }
+  return s;
+}
+
+extern "C" void pogs_native_dense_free(PogsNativeDense* s) { delete s; }
+
+namespace {
+
+template <typename Handle, typename ProjectFn>
+int32_t run_solve(Handle* s, ProjectFn&& project, const PogsNativeSettings* cs,
+                  const ScaledObjective& fobj_in, const ScaledObjective& gobj_in,
+                  double* x, double* y, double* mu, double* nu,
+                  PogsNativeInfo* info, const pn::LinOp& op) {
+  ScaledObjective fobj = fobj_in;
+  ScaledObjective gobj = gobj_in;
+  fobj.scale_rows(s->d);
+  gobj.scale_cols(s->e);
+
+  pn::Settings st = to_settings(cs);
+  if (!cs || !cs->warm_start) {
+    s->warm.z.clear();
+    s->warm.zt.clear();
+    s->warm.rho = 0.0;
+  }
+
+  const std::size_t m = s->m, n = s->n;
+  std::vector<double> x12(n), y12(m), mus(n), nus(m);
+  pn::Info res = pn::admm_solve(op, s->norm_A, fobj.view(), gobj.view(),
+                                project, st, s->warm, x12.data(), y12.data(),
+                                mus.data(), nus.data());
+
+  // Unscale to the original space (pogs.cpp:509-518).
+  for (std::size_t j = 0; j < n; ++j) {
+    if (x) x[j] = x12[j] * s->e[j];
+    if (mu) mu[j] = mus[j] / s->e[j];
+  }
+  for (std::size_t i = 0; i < m; ++i) {
+    if (y) y[i] = y12[i] / s->d[i];
+    if (nu) nu[i] = nus[i] * s->d[i];
+  }
+  if (info) {
+    info->optval = res.optval;
+    info->final_iter = res.final_iter;
+    info->status = res.status;
+    info->nrm_r = res.nrm_r;
+    info->nrm_s = res.nrm_s;
+    info->gap = res.gap;
+    info->rho_final = res.rho_final;
+  }
+  return res.status;
+}
+
+}  // namespace
+
+extern "C" int32_t pogs_native_dense_solve(
+    PogsNativeDense* s, const PogsNativeSettings* settings,
+    const int32_t* f_h, const double* f_a, const double* f_b,
+    const double* f_c, const double* f_d, const double* f_e,
+    const int32_t* g_h, const double* g_a, const double* g_b,
+    const double* g_c, const double* g_d, const double* g_e,
+    double* x, double* y, double* mu, double* nu, PogsNativeInfo* info) {
+  if (!s || !f_h || !g_h) return POGS_NATIVE_ERROR;
+  if (!s->ensure_init()) return POGS_NATIVE_ERROR;
+
+  ScaledObjective fobj, gobj;
+  fobj.load(s->m, f_h, f_a, f_b, f_c, f_d, f_e);
+  gobj.load(s->n, g_h, g_a, g_b, g_c, g_d, g_e);
+
+  const pn::DirectFactor& fac = s->factor;
+  auto project = [&fac](const double* x0, const double* y0, double /*tol*/,
+                        double* px, double* py) {
+    pn::direct_project(fac, x0, y0, px, py);
+  };
+  pn::LinOp op = s->linop();
+  return run_solve(s, project, settings, fobj, gobj, x, y, mu, nu, info, op);
+}
+
+// ---------------------------------------------------------------------------
+// Sparse CSR handle (CGLS projector).
+// ---------------------------------------------------------------------------
+
+struct PogsNativeSparse {
+  std::size_t m = 0, n = 0;
+  std::vector<long long> indptr, indices;
+  std::vector<double> data;
+  std::vector<double> d, e;
+  double norm_A = 1.0;
+  bool initialized = false;
+  pn::WarmState warm;
+  int cgls_max_iter = 500;
+
+  pn::Csr<double> csr() const {
+    return {m, n, indptr.data(), indices.data(), data.data()};
+  }
+
+  pn::LinOp linop() {
+    pn::LinOp op;
+    op.m = m;
+    op.n = n;
+    auto* self = this;
+    op.mv = [self](const double* x, double* y) { pn::spmv(self->csr(), x, y); };
+    op.rmv = [self](const double* x, double* y) {
+      pn::spmv_t(self->csr(), x, y);
+    };
+    op.sq_mv = [self](const double* x, double* y) {
+      const auto A = self->csr();
+      for (std::size_t i = 0; i < A.m; ++i) {
+        double acc = 0.0;
+        for (long long p = A.indptr[i]; p < A.indptr[i + 1]; ++p)
+          acc += A.data[p] * A.data[p] * x[A.indices[p]];
+        y[i] = acc;
+      }
+    };
+    op.sq_rmv = [self](const double* x, double* y) {
+      const auto A = self->csr();
+      std::vector<double> acc(A.n, 0.0);
+      for (std::size_t i = 0; i < A.m; ++i)
+        for (long long p = A.indptr[i]; p < A.indptr[i + 1]; ++p)
+          acc[A.indices[p]] += A.data[p] * A.data[p] * x[i];
+      for (std::size_t j = 0; j < A.n; ++j) y[j] = acc[j];
+    };
+    op.rescale = [self](const double* dd, const double* ee, double sc) {
+      const auto& ip = self->indptr;
+      for (std::size_t i = 0; i < self->m; ++i)
+        for (long long p = ip[i]; p < ip[i + 1]; ++p)
+          self->data[p] *= dd[i] * ee[self->indices[p]] * sc;
+    };
+    return op;
+  }
+
+  void ensure_init() {
+    if (initialized) return;
+    initialized = true;
+    pn::LinOp op = linop();
+    pn::equilibrate(op, 0.0, d, e);
+    norm_A = pn::norm2_est(op);
+  }
+};
+
+extern "C" PogsNativeSparse* pogs_native_sparse_new(size_t m, size_t n,
+                                                    size_t nnz,
+                                                    const int64_t* indptr,
+                                                    const int64_t* indices,
+                                                    const double* data) {
+  if (!indptr || !indices || !data || m == 0 || n == 0) return nullptr;
+  auto* s = new (std::nothrow) PogsNativeSparse;
+  if (!s) return nullptr;
+  s->m = m;
+  s->n = n;
+  s->indptr.assign(indptr, indptr + m + 1);
+  s->indices.assign(indices, indices + nnz);
+  s->data.assign(data, data + nnz);
+  return s;
+}
+
+extern "C" void pogs_native_sparse_free(PogsNativeSparse* s) { delete s; }
+
+extern "C" int32_t pogs_native_sparse_solve(
+    PogsNativeSparse* s, const PogsNativeSettings* settings,
+    const int32_t* f_h, const double* f_a, const double* f_b,
+    const double* f_c, const double* f_d, const double* f_e,
+    const int32_t* g_h, const double* g_a, const double* g_b,
+    const double* g_c, const double* g_d, const double* g_e,
+    double* x, double* y, double* mu, double* nu, PogsNativeInfo* info) {
+  if (!s || !f_h || !g_h) return POGS_NATIVE_ERROR;
+  s->ensure_init();
+  s->cgls_max_iter = settings ? settings->cgls_max_iter : 500;
+
+  ScaledObjective fobj, gobj;
+  fobj.load(s->m, f_h, f_a, f_b, f_c, f_d, f_e);
+  gobj.load(s->n, g_h, g_a, g_b, g_c, g_d, g_e);
+
+  pn::LinOp op = s->linop();
+  const int cg_max = s->cgls_max_iter;
+  auto project = [&op, cg_max](const double* x0, const double* y0, double tol,
+                               double* px, double* py) {
+    pn::cgls_project(op, x0, y0, tol, cg_max, px, py);
+  };
+  return run_solve(s, project, settings, fobj, gobj, x, y, mu, nu, info, op);
+}
+
+// ---------------------------------------------------------------------------
+// One-shot entry points.
+// ---------------------------------------------------------------------------
+
+extern "C" int32_t pogs_native_solve_dense_d(
+    int32_t ord, size_t m, size_t n, const double* A,
+    const PogsNativeSettings* settings,
+    const int32_t* f_h, const double* f_a, const double* f_b,
+    const double* f_c, const double* f_d, const double* f_e,
+    const int32_t* g_h, const double* g_a, const double* g_b,
+    const double* g_c, const double* g_d, const double* g_e,
+    double* x, double* y, double* mu, double* nu, PogsNativeInfo* info) {
+  std::unique_ptr<PogsNativeDense, void (*)(PogsNativeDense*)> s(
+      pogs_native_dense_new(ord, m, n, A), pogs_native_dense_free);
+  if (!s) return POGS_NATIVE_ERROR;
+  return pogs_native_dense_solve(s.get(), settings, f_h, f_a, f_b, f_c, f_d,
+                                 f_e, g_h, g_a, g_b, g_c, g_d, g_e, x, y, mu,
+                                 nu, info);
+}
+
+extern "C" int32_t pogs_native_solve_dense_s(
+    int32_t ord, size_t m, size_t n, const float* A,
+    const PogsNativeSettings* settings,
+    const int32_t* f_h, const float* f_a, const float* f_b,
+    const float* f_c, const float* f_d, const float* f_e,
+    const int32_t* g_h, const float* g_a, const float* g_b,
+    const float* g_c, const float* g_d, const float* g_e,
+    float* x, float* y, float* mu, float* nu, PogsNativeInfo* info) {
+  // Single precision promotes to the double core (the host runtime always
+  // iterates in f64; f32 is a TPU-side concern).
+  std::vector<double> Ad(A, A + m * n);
+  auto up = [](const float* p, size_t len) {
+    std::vector<double> v;
+    if (p) v.assign(p, p + len);
+    return v;
+  };
+  std::vector<double> fa = up(f_a, m), fb = up(f_b, m), fc = up(f_c, m),
+                      fd = up(f_d, m), fe = up(f_e, m);
+  std::vector<double> ga = up(g_a, n), gb = up(g_b, n), gc = up(g_c, n),
+                      gd = up(g_d, n), ge = up(g_e, n);
+  std::vector<double> xd(n), yd(m), mud(n), nud(m);
+  PogsNativeInfo inf;
+  const int32_t status = pogs_native_solve_dense_d(
+      ord, m, n, Ad.data(), settings, f_h,
+      f_a ? fa.data() : nullptr, f_b ? fb.data() : nullptr,
+      f_c ? fc.data() : nullptr, f_d ? fd.data() : nullptr,
+      f_e ? fe.data() : nullptr, g_h,
+      g_a ? ga.data() : nullptr, g_b ? gb.data() : nullptr,
+      g_c ? gc.data() : nullptr, g_d ? gd.data() : nullptr,
+      g_e ? ge.data() : nullptr, xd.data(), yd.data(), mud.data(), nud.data(),
+      &inf);
+  for (size_t j = 0; j < n; ++j) {
+    if (x) x[j] = float(xd[j]);
+    if (mu) mu[j] = float(mud[j]);
+  }
+  for (size_t i = 0; i < m; ++i) {
+    if (y) y[i] = float(yd[i]);
+    if (nu) nu[i] = float(nud[i]);
+  }
+  if (info) *info = inf;
+  return status;
+}

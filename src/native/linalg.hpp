@@ -1,0 +1,189 @@
+// Minimal dense linear algebra for the native host runtime.
+//
+// The TPU compute path of pogs_tpu is JAX/XLA; this native library is the
+// host-side runtime used by the C ABI (src/include/pogs_tpu_native.h) as a
+// dependency-free CPU execution engine: small problems solve faster on the
+// host than a device dispatch costs, and it doubles as a numerics oracle
+// for the TPU path.  Functional counterpart of the reference's GSL/CBLAS
+// shims (reference: src/cpu/include/gsl/gsl_blas.h:95-234,
+// gsl_linalg.h:14-60) but written as free functions over std::vector /
+// raw spans with OpenMP-parallel loops — no BLAS dependency.
+#pragma once
+
+#include <cmath>
+#include <cstddef>
+#include <vector>
+
+namespace pogs_native {
+
+using std::size_t;
+
+// ---------------------------------------------------------------------------
+// Vector kernels.
+// ---------------------------------------------------------------------------
+
+template <typename T>
+T dot(size_t n, const T* x, const T* y) {
+  double acc = 0.0;  // accumulate in double for f32 robustness
+#pragma omp parallel for reduction(+ : acc) if (n > 4096)
+  for (size_t i = 0; i < n; ++i) acc += double(x[i]) * double(y[i]);
+  return T(acc);
+}
+
+template <typename T>
+T nrm2(size_t n, const T* x) {
+  return T(std::sqrt(double(dot(n, x, x))));
+}
+
+template <typename T>
+void axpy(size_t n, T alpha, const T* x, T* y) {
+  for (size_t i = 0; i < n; ++i) y[i] += alpha * x[i];
+}
+
+template <typename T>
+void scal(size_t n, T alpha, T* x) {
+  for (size_t i = 0; i < n; ++i) x[i] *= alpha;
+}
+
+// ---------------------------------------------------------------------------
+// Dense row-major matrix kernels.
+// ---------------------------------------------------------------------------
+
+// y = A x  (A: m x n, row-major).
+template <typename T>
+void gemv(size_t m, size_t n, const T* A, const T* x, T* y) {
+#pragma omp parallel for if (m * n > 16384)
+  for (size_t i = 0; i < m; ++i) {
+    const T* row = A + i * n;
+    double acc = 0.0;
+    for (size_t j = 0; j < n; ++j) acc += double(row[j]) * double(x[j]);
+    y[i] = T(acc);
+  }
+}
+
+// y = A^T x  (A: m x n, row-major; y has length n).
+template <typename T>
+void gemv_t(size_t m, size_t n, const T* A, const T* x, T* y) {
+#pragma omp parallel for if (m * n > 16384)
+  for (size_t j = 0; j < n; ++j) y[j] = T(0);
+  // Column access of a row-major matrix: accumulate row by row into a
+  // double buffer (cache-friendlier than striding columns).
+  std::vector<double> acc(n, 0.0);
+  for (size_t i = 0; i < m; ++i) {
+    const T* row = A + i * n;
+    const double xi = double(x[i]);
+    if (xi == 0.0) continue;
+    for (size_t j = 0; j < n; ++j) acc[j] += xi * double(row[j]);
+  }
+  for (size_t j = 0; j < n; ++j) y[j] = T(acc[j]);
+}
+
+// G = A^T A (n x n) if trans, else G = A A^T (m x m).  Row-major output.
+template <typename T>
+void gram(size_t m, size_t n, const T* A, bool trans, T* G) {
+  const size_t k = trans ? n : m;
+  if (trans) {
+    // G[j1, j2] = sum_i A[i, j1] A[i, j2].  Accumulate per row of A.
+    std::vector<double> acc(k * k, 0.0);
+    for (size_t i = 0; i < m; ++i) {
+      const T* row = A + i * n;
+      for (size_t j1 = 0; j1 < n; ++j1) {
+        const double a = double(row[j1]);
+        if (a == 0.0) continue;
+        double* out = acc.data() + j1 * n;
+        for (size_t j2 = j1; j2 < n; ++j2) out[j2] += a * double(row[j2]);
+      }
+    }
+    for (size_t j1 = 0; j1 < k; ++j1)
+      for (size_t j2 = j1; j2 < k; ++j2) {
+        G[j1 * k + j2] = T(acc[j1 * k + j2]);
+        G[j2 * k + j1] = T(acc[j1 * k + j2]);
+      }
+  } else {
+#pragma omp parallel for if (m * n > 16384)
+    for (size_t i1 = 0; i1 < m; ++i1) {
+      for (size_t i2 = i1; i2 < m; ++i2) {
+        const double v = double(dot(n, A + i1 * n, A + i2 * n));
+        G[i1 * k + i2] = T(v);
+        G[i2 * k + i1] = T(v);
+      }
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Cholesky (in-place, lower triangle of a row-major SPD matrix).
+// Returns false if a non-positive pivot is hit.
+// ---------------------------------------------------------------------------
+
+template <typename T>
+bool cholesky(size_t n, T* K) {
+  for (size_t j = 0; j < n; ++j) {
+    double diag = double(K[j * n + j]);
+    for (size_t p = 0; p < j; ++p) diag -= double(K[j * n + p]) * double(K[j * n + p]);
+    if (diag <= 0.0) return false;
+    const double ljj = std::sqrt(diag);
+    K[j * n + j] = T(ljj);
+#pragma omp parallel for if (n > 256)
+    for (size_t i = j + 1; i < n; ++i) {
+      double v = double(K[i * n + j]);
+      for (size_t p = 0; p < j; ++p) v -= double(K[i * n + p]) * double(K[j * n + p]);
+      K[i * n + j] = T(v / ljj);
+    }
+  }
+  return true;
+}
+
+// Solve K x = b given the Cholesky factor L in the lower triangle of K.
+template <typename T>
+void cholesky_solve(size_t n, const T* L, const T* b, T* x) {
+  // Forward:  L w = b.
+  for (size_t i = 0; i < n; ++i) {
+    double v = double(b[i]);
+    for (size_t p = 0; p < i; ++p) v -= double(L[i * n + p]) * double(x[p]);
+    x[i] = T(v / double(L[i * n + i]));
+  }
+  // Backward: L^T x = w.
+  for (size_t ii = n; ii-- > 0;) {
+    double v = double(x[ii]);
+    for (size_t p = ii + 1; p < n; ++p) v -= double(L[p * n + ii]) * double(x[p]);
+    x[ii] = T(v / double(L[ii * n + ii]));
+  }
+}
+
+// ---------------------------------------------------------------------------
+// CSR sparse matrix (for the indirect/CGLS path).
+// ---------------------------------------------------------------------------
+
+template <typename T>
+struct Csr {
+  size_t m = 0, n = 0;
+  const long long* indptr = nullptr;   // length m+1
+  const long long* indices = nullptr;  // length nnz
+  const T* data = nullptr;             // length nnz
+};
+
+template <typename T>
+void spmv(const Csr<T>& A, const T* x, T* y) {
+#pragma omp parallel for if (A.m > 1024)
+  for (size_t i = 0; i < A.m; ++i) {
+    double acc = 0.0;
+    for (long long p = A.indptr[i]; p < A.indptr[i + 1]; ++p)
+      acc += double(A.data[p]) * double(x[A.indices[p]]);
+    y[i] = T(acc);
+  }
+}
+
+template <typename T>
+void spmv_t(const Csr<T>& A, const T* x, T* y) {
+  std::vector<double> acc(A.n, 0.0);
+  for (size_t i = 0; i < A.m; ++i) {
+    const double xi = double(x[i]);
+    if (xi == 0.0) continue;
+    for (long long p = A.indptr[i]; p < A.indptr[i + 1]; ++p)
+      acc[A.indices[p]] += xi * double(A.data[p]);
+  }
+  for (size_t j = 0; j < A.n; ++j) y[j] = T(acc[j]);
+}
+
+}  // namespace pogs_native
