@@ -36,6 +36,7 @@ from pogs_tpu.linalg.norm import norm2_est
 from pogs_tpu.projector.direct import DirectProjector
 from pogs_tpu.projector.indirect import CglsProjector
 from pogs_tpu.solver.admm import admm_loop, postsolve_verify
+from pogs_tpu.ops.fused_admm import fused_admm_eligible, fused_admm_loop
 from pogs_tpu.utils.precision import highest_precision
 
 _INIT_CACHE: dict = {}
@@ -76,12 +77,40 @@ def _fv(h: np.ndarray, params) -> FunctionVector:
     return fv
 
 
+def _use_fused(shape, dtype, settings: SolverSettings, kind: str,
+               direct_method: str, is_sparse: bool) -> bool:
+    """Decide the VMEM-resident fused-kernel path (static per compile)."""
+    if settings.use_fused is False:
+        return False
+    supported = (
+        not is_sparse
+        and kind == "direct"
+        and direct_method == "inverse"
+        and fused_admm_eligible(shape[0], shape[1], dtype, settings)
+    )
+    if settings.use_fused:
+        if not supported:
+            raise ValueError(
+                "use_fused=True but the fused path does not support this "
+                "problem (needs dense A, direct/inverse projector, VMEM-"
+                "sized shapes, no anderson/exact-tol/verbose>1)"
+            )
+        return True
+    # Auto: only where it pays — a real TPU backend, f32 iterates.
+    return (
+        supported
+        and jax.default_backend() == "tpu"
+        and jnp.dtype(dtype) == jnp.float32
+    )
+
+
 def _get_solve_fn(shape, dtype, h_f: np.ndarray, h_g: np.ndarray,
                   settings: SolverSettings, kind, direct_method,
-                  has_warm: bool, has_x0: bool, has_nu0: bool):
+                  has_warm: bool, has_x0: bool, has_nu0: bool,
+                  fused: bool = False):
     key = (
         shape, str(dtype), h_f.tobytes(), h_g.tobytes(), settings,
-        kind, direct_method, has_warm, has_x0, has_nu0,
+        kind, direct_method, has_warm, has_x0, has_nu0, fused,
     )
     fn = _SOLVE_CACHE.get(key)
     if fn is not None:
@@ -136,10 +165,17 @@ def _get_solve_fn(shape, dtype, h_f: np.ndarray, h_g: np.ndarray,
         def project_fn(px, py, tol, x_warm):
             return projector.project(A, factor, px, py, tol, x_warm)
 
-        out = admm_loop(
-            A, norm_A, d, e, prox_fn, eval_fn, project_fn, settings,
-            z0, zt0, rho0,
-        )
+        if fused:
+            A_dense = A.dense() if hasattr(A, "dense") else A
+            out = fused_admm_loop(
+                A_dense, factor["op"], norm_A, h_f, tuple(f_s.params),
+                h_g, tuple(g_s.params), settings, z0, zt0, rho0,
+            )
+        else:
+            out = admm_loop(
+                A, norm_A, d, e, prox_fn, eval_fn, project_fn, settings,
+                z0, zt0, rho0,
+            )
 
         if settings.use_exact_tol:
             out["status"] = postsolve_verify(
@@ -232,10 +268,15 @@ class GraphFormSolver:
         has_warm = self._z is not None
         rho0 = float(rho if rho is not None else self.rho)
 
+        fused = _use_fused(
+            (self.m, self.n), self.dtype, settings, self.projector,
+            self.direct_method, self.A.is_sparse,
+        )
         fn = _get_solve_fn(
             (self.m, self.n), self.dtype, f.h, g.h, settings,
             self.projector, self.direct_method,
             has_warm, x_init is not None, nu_init is not None,
+            fused=fused,
         )
 
         opt = {}

@@ -273,6 +273,11 @@ class SolverSettings:
     anderson_start: int = 10
     # Indirect (CGLS) projector controls.
     cgls_max_iter: int = 500
+    # VMEM-resident fused Pallas solve (pogs_tpu/ops/fused_admm.py):
+    # None = auto (on for TPU backends when the problem fits on-chip and
+    # the mode is supported), True = force (interpret mode off-TPU),
+    # False = always use the XLA while_loop path.
+    use_fused: Optional[bool] = None
 
     def replace(self, **kw) -> "SolverSettings":
         return dataclasses.replace(self, **kw)

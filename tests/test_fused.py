@@ -1,0 +1,151 @@
+"""Fused VMEM-resident ADMM kernel vs the XLA while_loop — exact parity.
+
+The Pallas kernel (pogs_tpu/ops/fused_admm.py) implements the identical
+algorithm, so on the same inputs it must reproduce the XLA loop's iterate
+trajectory: same iteration count, same status, optval/x to f32 roundoff.
+Runs in interpreter mode on the CPU backend.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pogs_tpu.types import Function, FunctionVector, SolverSettings
+from pogs_tpu.prox.vector import prox_eval, func_eval, scale_f, scale_g
+from pogs_tpu.linalg.equil import equilibrate
+from pogs_tpu.linalg.norm import norm2_est
+from pogs_tpu.projector.direct import DirectProjector
+from pogs_tpu.solver.admm import admm_loop
+from pogs_tpu.ops.fused_admm import fused_admm_loop, fused_admm_eligible
+
+
+def _both_solve(A, f, g, settings):
+    """Run the XLA loop and the fused kernel on identical scaled inputs."""
+    m, n = A.shape
+    dt = A.dtype
+    eq = equilibrate(A)
+    nA = norm2_est(eq.A)
+    proj = DirectProjector()
+    fac = proj.init(eq.A, s=1.0)
+    f_s = scale_f(f, eq.d)
+    g_s = scale_g(g, eq.e)
+    z0 = jnp.zeros((m + n,), dt)
+
+    def prox_fn(x_in, y_in, rho):
+        return prox_eval(g_s, x_in, rho), prox_eval(f_s, y_in, rho)
+
+    def eval_fn(x12, y12):
+        return func_eval(f_s, y12) + func_eval(g_s, x12)
+
+    def project_fn(px, py, tol, xw):
+        return proj.project(eq.A, fac, px, py, tol, xw)
+
+    ref = admm_loop(eq.A, nA, eq.d, eq.e, prox_fn, eval_fn, project_fn,
+                    settings, z0, z0, jnp.asarray(1.0, dt))
+    fus = fused_admm_loop(
+        eq.A, fac["op"], nA,
+        f.h, tuple(jnp.asarray(p, dt) for p in f_s.params),
+        g.h, tuple(jnp.asarray(p, dt) for p in g_s.params),
+        settings, z0, z0, 1.0, interpret=True,
+    )
+    return ref, fus
+
+
+def _assert_match(ref, fus, atol=2e-5):
+    assert int(ref["final_iter"]) == int(fus["final_iter"])
+    assert int(ref["status"]) == int(fus["status"])
+    assert float(fus["optval"]) == pytest.approx(float(ref["optval"]), rel=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(ref["x12"]), np.asarray(fus["x12"]), atol=atol
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref["z"]), np.asarray(fus["z"]), atol=atol
+    )
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(7)
+
+
+def _rand_problem(rng, m, n, dtype=jnp.float32):
+    A = jnp.asarray(rng.standard_normal((m, n)), dtype)
+    b = rng.standard_normal(m)
+    return A, b
+
+
+def test_fused_matches_xla_lasso_tall(rng):
+    A, b = _rand_problem(rng, 60, 40)
+    f = FunctionVector(Function.SQUARE, 60, b=b, dtype=jnp.float32)
+    g = FunctionVector(Function.ABS, 40, c=0.5, dtype=jnp.float32)
+    ref, fus = _both_solve(A, f, g, SolverSettings(max_iter=400))
+    _assert_match(ref, fus)
+
+
+def test_fused_matches_xla_wide(rng):
+    A, b = _rand_problem(rng, 30, 70)
+    f = FunctionVector(Function.SQUARE, 30, b=b, dtype=jnp.float32)
+    g = FunctionVector(Function.ABS, 70, c=0.3, dtype=jnp.float32)
+    ref, fus = _both_solve(A, f, g, SolverSettings(max_iter=400))
+    _assert_match(ref, fus)
+
+
+def test_fused_matches_xla_logistic(rng):
+    m, n = 50, 20
+    A = jnp.asarray(rng.standard_normal((m, n)), jnp.float32)
+    labels = np.sign(rng.standard_normal(m))
+    f = FunctionVector(Function.LOGISTIC, m, a=-labels, dtype=jnp.float32)
+    g = FunctionVector(Function.ABS, n, c=0.2, dtype=jnp.float32)
+    ref, fus = _both_solve(A, f, g, SolverSettings(max_iter=400))
+    _assert_match(ref, fus, atol=5e-5)
+
+
+def test_fused_matches_xla_nonneg_gapstop(rng):
+    A, b = _rand_problem(rng, 40, 25)
+    f = FunctionVector(Function.SQUARE, 40, b=b, dtype=jnp.float32)
+    g = FunctionVector(Function.INDGE0, 25, dtype=jnp.float32)
+    st = SolverSettings(max_iter=400, gap_stop=True)
+    ref, fus = _both_solve(A, f, g, st)
+    _assert_match(ref, fus)
+
+
+def test_fused_max_iter_status(rng):
+    A, b = _rand_problem(rng, 40, 25)
+    f = FunctionVector(Function.SQUARE, 40, b=b, dtype=jnp.float32)
+    g = FunctionVector(Function.ABS, 25, c=0.5, dtype=jnp.float32)
+    st = SolverSettings(max_iter=5)
+    ref, fus = _both_solve(A, f, g, st)
+    _assert_match(ref, fus)
+    assert int(fus["status"]) != 0  # MAX_ITER
+
+
+def test_fused_eligibility():
+    st = SolverSettings()
+    assert fused_admm_eligible(500, 300, jnp.float32, st)
+    assert not fused_admm_eligible(20000, 5000, jnp.float32, st)
+    assert not fused_admm_eligible(100, 50, jnp.float32,
+                                   st.replace(use_anderson=True))
+    assert not fused_admm_eligible(100, 50, jnp.float32,
+                                   st.replace(use_exact_tol=True))
+
+
+def test_fused_via_solver_front_end(rng):
+    """use_fused=True forces the fused path through GraphFormSolver."""
+    from pogs_tpu.solver.graph import GraphFormSolver
+    from pogs_tpu.types import Status
+
+    A, b = _rand_problem(rng, 48, 32)
+    f = FunctionVector(Function.SQUARE, 48, b=b, dtype=jnp.float32)
+    g = FunctionVector(Function.ABS, 32, c=0.4, dtype=jnp.float32)
+    st = SolverSettings(use_fused=True, max_iter=500)
+    res_f = GraphFormSolver(A, dtype=jnp.float32, settings=st).solve(f, g)
+    res_x = GraphFormSolver(
+        A, dtype=jnp.float32, settings=st.replace(use_fused=False)
+    ).solve(f, g)
+    assert res_f.status == Status.SUCCESS
+    assert int(res_f.final_iter) == int(res_x.final_iter)
+    assert float(res_f.optval) == pytest.approx(float(res_x.optval), rel=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(res_f.x), np.asarray(res_x.x), atol=5e-5
+    )
