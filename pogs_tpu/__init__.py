@@ -54,6 +54,8 @@ from pogs_tpu.api.graph import (
     solve_svm,
     solve_nonneg_ls,
 )
+from pogs_tpu.utils.profiling import trace, PhaseTimer, device_time
+from pogs_tpu.utils.checkpoint import save_state, load_state
 
 __version__ = "0.1.0"
 
@@ -89,4 +91,9 @@ __all__ = [
     "solve_huber",
     "solve_svm",
     "solve_nonneg_ls",
+    "trace",
+    "PhaseTimer",
+    "device_time",
+    "save_state",
+    "load_state",
 ]

@@ -246,6 +246,17 @@ class GraphFormSolver:
         self._zt = None
         return self
 
+    def save_state(self, path):
+        """Checkpoint the warm-start state (z, zt, rho) to ``path`` (.npz)."""
+        from pogs_tpu.utils.checkpoint import save_state
+        save_state(self, path)
+        return self
+
+    def load_state(self, path, strict: bool = True):
+        """Restore a checkpoint created by :meth:`save_state`."""
+        from pogs_tpu.utils.checkpoint import load_state
+        return load_state(self, path, strict=strict)
+
     # -- solving -------------------------------------------------------------
 
     def solve(
@@ -288,6 +299,22 @@ class GraphFormSolver:
         if nu_init is not None:
             opt["nu0"] = nu_init
 
+        if settings.verbose > 0:
+            # Banner (reference pogs.cpp:186-196).
+            print(
+                "---------------------------------------------------------\n"
+                " pogs_tpu — TPU-native graph-form ADMM\n"
+                f"   A: {self.m} x {self.n} ({'sparse' if self.A.is_sparse else 'dense'}, "
+                f"{self.dtype}), projector: {self.projector}"
+                f"{' [fused kernel]' if fused else ''}\n"
+                f"   abs_tol {settings.abs_tol:g}, rel_tol {settings.rel_tol:g}, "
+                f"rho {rho0:g}, max_iter {settings.max_iter}\n"
+                "---------------------------------------------------------"
+            )
+            if settings.verbose > 1:
+                print("  iter:    r        eps_pri    s        eps_dua"
+                      "    gap      eps_gap   optval")
+
         f.to_device()
         g.to_device()
         t0 = time.perf_counter()
@@ -305,6 +332,18 @@ class GraphFormSolver:
         self._z = out["z"]
         self._zt = out["zt"]
         self.rho = float(out["rho"])
+
+        if settings.verbose > 0:
+            # Final summary (reference pogs.cpp:484-500).
+            print(
+                f" status: {Status(status_val).name}, "
+                f"iterations: {int(out['final_iter'])}, "
+                f"solve time: {solve_time * 1e3:.2f} ms\n"
+                f" optval: {float(out['optval']):.6e}, "
+                f"nrm_r: {float(out['nrm_r']):.2e}, "
+                f"nrm_s: {float(out['nrm_s']):.2e}, "
+                f"gap: {float(out['gap']):.2e}"
+            )
 
         return SolverResult(
             x=out["x"],
