@@ -28,7 +28,7 @@ from typing import Optional
 
 import numpy as np
 
-from pogs_tpu.types import FunctionVector, SolverSettings, Status
+from pogs_tpu.types import ConeConstraint, FunctionVector, SolverSettings, Status
 
 _REPO_ROOT = Path(__file__).resolve().parents[2]
 
@@ -84,6 +84,14 @@ _I32 = ct.POINTER(ct.c_int32)
 _I64 = ct.POINTER(ct.c_int64)
 
 
+class _ConeC(ct.Structure):
+    _fields_ = [
+        ("cone", ct.c_int32),
+        ("indices", _I64),
+        ("num_indices", ct.c_size_t),
+    ]
+
+
 def _bind(lib: ct.CDLL) -> ct.CDLL:
     lib.pogs_native_settings_default.argtypes = [ct.POINTER(PogsNativeSettings)]
     lib.pogs_native_settings_default.restype = None
@@ -108,6 +116,19 @@ def _bind(lib: ct.CDLL) -> ct.CDLL:
     lib.pogs_native_sparse_free.restype = None
     lib.pogs_native_sparse_solve.argtypes = lib.pogs_native_dense_solve.argtypes
     lib.pogs_native_sparse_solve.restype = ct.c_int32
+
+    lib.pogs_native_cone_new.argtypes = [
+        ct.c_int32, ct.c_size_t, ct.c_size_t, _D,
+        ct.POINTER(_ConeC), ct.c_size_t, ct.POINTER(_ConeC), ct.c_size_t,
+    ]
+    lib.pogs_native_cone_new.restype = ct.c_void_p
+    lib.pogs_native_cone_free.argtypes = [ct.c_void_p]
+    lib.pogs_native_cone_free.restype = None
+    lib.pogs_native_cone_solve.argtypes = [
+        ct.c_void_p, ct.POINTER(PogsNativeSettings), _D, _D,
+        _D, _D, _D, _D, ct.POINTER(PogsNativeInfo),
+    ]
+    lib.pogs_native_cone_solve.restype = ct.c_int32
     return lib
 
 
@@ -305,6 +326,102 @@ class NativeSparseSolver(_NativeSolverBase):
 
     def _free_fn(self):
         return self._lib.pogs_native_sparse_free
+
+
+class NativeConeSolver:
+    """Handle-based cone solver: min c'x s.t. b − Ax ∈ K_y, x ∈ K_x.
+
+    Graph-form cone ADMM in exact-tolerance mode (same algorithm as the
+    Python ConeSolver's non-HSDE path).  SDP cones are not supported
+    natively — use the Python/TPU path for those.
+    """
+
+    def __init__(self, A, Kx=(), Ky=()):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError(
+                "native library not available; run pogs_tpu.native.build()"
+            )
+        A = np.ascontiguousarray(np.asarray(A, dtype=np.float64))
+        if A.ndim != 2:
+            raise ValueError("A must be 2-D")
+        self.m, self.n = A.shape
+        self._lib = lib
+
+        def pack(cones):
+            cones = [c if isinstance(c, ConeConstraint) else
+                     ConeConstraint(*c) for c in cones]
+            idx_arrays = [np.asarray(c.indices, dtype=np.int64) for c in cones]
+            arr = (_ConeC * max(len(cones), 1))()
+            for i, (c, idx) in enumerate(zip(cones, idx_arrays)):
+                arr[i].cone = int(c.cone)
+                arr[i].indices = idx.ctypes.data_as(_I64)
+                arr[i].num_indices = idx.shape[0]
+            return arr, len(cones), idx_arrays
+
+        kx_arr, n_kx, self._kx_keep = pack(Kx)
+        ky_arr, n_ky, self._ky_keep = pack(Ky)
+        self._handle = lib.pogs_native_cone_new(
+            0, self.m, self.n, A.ctypes.data_as(_D),
+            kx_arr, n_kx, ky_arr, n_ky,
+        )
+        if not self._handle:
+            raise RuntimeError(
+                "pogs_native_cone_new failed (invalid cones or SDP requested)"
+            )
+
+    def solve(self, b, c, settings: Optional[SolverSettings] = None,
+              warm_start: bool = False) -> dict:
+        if self._handle is None:
+            raise RuntimeError("solver already freed")
+        settings = settings or SolverSettings()
+        st = _settings_struct(settings, warm_start)
+        b = np.ascontiguousarray(np.asarray(b, dtype=np.float64))
+        c = np.ascontiguousarray(np.asarray(c, dtype=np.float64))
+        if b.shape[0] != self.m or c.shape[0] != self.n:
+            raise ValueError("b/c length mismatch")
+        x = np.empty(self.n)
+        y = np.empty(self.m)
+        mu = np.empty(self.n)
+        nu = np.empty(self.m)
+        info = PogsNativeInfo()
+        status = self._lib.pogs_native_cone_solve(
+            self._handle, ct.byref(st),
+            b.ctypes.data_as(_D), c.ctypes.data_as(_D),
+            x.ctypes.data_as(_D), y.ctypes.data_as(_D),
+            mu.ctypes.data_as(_D), nu.ctypes.data_as(_D), ct.byref(info),
+        )
+        return {
+            "x": x, "y": y, "mu": mu, "l": nu,
+            "optval": float(info.optval),
+            "iterations": int(info.final_iter),
+            "status": Status(int(status)),
+            "nrm_r": float(info.nrm_r),
+            "nrm_s": float(info.nrm_s),
+        }
+
+    def free(self):
+        if self._handle is not None:
+            self._lib.pogs_native_cone_free(self._handle)
+            self._handle = None
+
+    def __del__(self):  # pragma: no cover - GC timing
+        try:
+            self.free()
+        except Exception:
+            pass
+
+
+def solve_cone_native(A, b, c, Kx=(), Ky=(),
+                      settings: Optional[SolverSettings] = None, **kw) -> dict:
+    """One-shot native cone solve."""
+    if settings is None:
+        settings = SolverSettings(**kw) if kw else SolverSettings()
+    solver = NativeConeSolver(A, Kx=Kx, Ky=Ky)
+    try:
+        return solver.solve(b, c, settings)
+    finally:
+        solver.free()
 
 
 def solve_graph_native(A, f: FunctionVector, g: FunctionVector,

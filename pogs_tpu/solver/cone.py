@@ -273,13 +273,23 @@ class ConeSolver:
             if use_hsde:
                 smw_factor = None
                 if strategy == "smw" and not has_P and self.projector == "direct":
-                    # Reuse the cached Gram inverse (I + AᵀA)⁻¹ from init.
+                    # Reuse the cached Gram inverse from init.  Tall case:
+                    # the factor IS (I + AᵀA)⁻¹.  Wide case: the factor is
+                    # the m×m (I + AAᵀ)⁻¹ — apply the n×n inverse through
+                    # Woodbury: (I+AᵀA)⁻¹v = v − Aᵀ(I+AAᵀ)⁻¹(A v).
                     Kinv = init_state["factor"]["op"]
+                    if m >= n:
+                        def apply_kinv(v):
+                            return jnp.matmul(Kinv, v, precision=_PRECISION)
+                    else:
+                        def apply_kinv(v):
+                            w = jnp.matmul(Kinv, A.mv(v), precision=_PRECISION)
+                            return v - A.rmv(w)
                     rhs = c_s - A.rmv(b_s)
-                    t_x = jnp.matmul(Kinv, rhs, precision=_PRECISION)
+                    t_x = apply_kinv(rhs)
                     t_y = b_s + A.mv(t_x)
                     s_den = 1.0 + jnp.vdot(c_s, t_x) + jnp.vdot(b_s, t_y)
-                    smw_factor = {"Kinv": Kinv, "t_x": t_x, "t_y": t_y,
+                    smw_factor = {"apply": apply_kinv, "t_x": t_x, "t_y": t_y,
                                   "s_den": s_den}
                 out = hsde_solve(
                     A, b_s, c_s, Ky, P=P_s, strategy=strategy,

@@ -120,11 +120,17 @@ def smw_setup(A, b, c, P=None):
 
 
 def smw_solve(factor, A, b, c, u):
-    """(I + Q)⁻¹ u via SMW back-substitution (pogs.cpp:1230-1284)."""
+    """(I + Q)⁻¹ u via SMW back-substitution (pogs.cpp:1230-1284).
+
+    ``factor`` may carry an ``apply`` callable for (I+P+AᵀA)⁻¹ (used when
+    the cached projector factor is the m×m wide-case inverse and the n×n
+    solve goes through Woodbury); otherwise ``Kinv`` is the explicit n×n
+    inverse."""
     m, n = A.shape
     amv, armv = _ops(A)
+    apply_kinv = factor.get("apply") or (lambda v: _mv(factor["Kinv"], v))
     w_x, w_y, w_tau = u[:n], u[n:n + m], u[n + m]
-    p_x = _mv(factor["Kinv"], w_x - armv(w_y))
+    p_x = apply_kinv(w_x - armv(w_y))
     p_y = w_y + amv(p_x)
     h_dot_p = jnp.vdot(c, p_x) + jnp.vdot(b, p_y)
     u_tau = (w_tau + h_dot_p) / factor["s_den"]

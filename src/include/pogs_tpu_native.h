@@ -142,6 +142,38 @@ int32_t pogs_native_sparse_solve(
 void pogs_native_sparse_free(PogsNativeSparse* s);
 
 /* ------------------------------------------------------------------ */
+/* Cone-form API (graph-form cone ADMM; counterpart of PogsConeD).     */
+/* Cones: ZERO=0, NON_NEG=1, NON_POS=2, SOC=3, EXP_PRIMAL=5,           */
+/* EXP_DUAL=6 (values match pogs_tpu.types.Cone).  SDP (=4) is NOT     */
+/* supported natively (as in the reference GPU backend); SDP problems  */
+/* route through the Python/TPU path.                                  */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+  int32_t cone;            /* cone kind (see above)                    */
+  const int64_t* indices;  /* coordinate indices belonging to the cone */
+  size_t num_indices;
+} PogsNativeCone;
+
+typedef struct PogsNativeConeSolver PogsNativeConeSolver;
+
+/* Create a cone solver for  min c'x  s.t.  b - Ax in K_y, x in K_x.
+ * Returns NULL on invalid input (overlapping/out-of-range indices, SDP). */
+PogsNativeConeSolver* pogs_native_cone_new(
+    int32_t ord, size_t m, size_t n, const double* A,
+    const PogsNativeCone* Kx, size_t num_Kx,
+    const PogsNativeCone* Ky, size_t num_Ky);
+
+/* Solve for given (b, c); the equilibration/factorization and (with
+ * settings->warm_start) the iterate persist in the handle. */
+int32_t pogs_native_cone_solve(
+    PogsNativeConeSolver* s, const PogsNativeSettings* settings,
+    const double* b, const double* c,
+    double* x, double* y, double* mu, double* nu, PogsNativeInfo* info);
+
+void pogs_native_cone_free(PogsNativeConeSolver* s);
+
+/* ------------------------------------------------------------------ */
 /* One-shot convenience entry points (counterparts of PogsD/PogsS).    */
 /* ------------------------------------------------------------------ */
 

@@ -42,6 +42,10 @@ struct Settings {
   bool adaptive_rho = true;
   bool gap_stop = false;
   int cgls_max_iter = 500;
+  // Exact-tolerance (cone) mode: alpha = 1.0, residuals measured in the
+  // original (unscaled) space via d/e, tighter projection ladder, exact
+  // residuals every iteration (reference pogs.cpp:102-110, 210-248).
+  bool use_exact_tol = false;
 };
 
 struct Info {
@@ -68,8 +72,10 @@ struct LinOp {
 // same pipeline as pogs_tpu/linalg/equil.py).
 // --------------------------------------------------------------------------
 
-inline void equilibrate(LinOp& A, double frob2, std::vector<double>& d,
-                        std::vector<double>& e) {
+inline void equilibrate(
+    LinOp& A, double frob2, std::vector<double>& d, std::vector<double>& e,
+    const std::function<void(std::vector<double>&)>& constrain_d = nullptr,
+    const std::function<void(std::vector<double>&)>& constrain_e = nullptr) {
   const std::size_t m = A.m, n = A.n;
   const double reg_e = 1e-4 * double(m + n) / double(m);
   const double reg_d = 1e-4 * double(m + n) / double(n);
@@ -78,9 +84,13 @@ inline void equilibrate(LinOp& A, double frob2, std::vector<double>& d,
   std::vector<double> tmp_m(m), tmp_n(n);
   for (int it = 0; it < 50; ++it) {
     A.sq_rmv(d.data(), tmp_n.data());
-    for (std::size_t j = 0; j < n; ++j) e[j] = double(m) / (tmp_n[j] + reg_e);
+    for (std::size_t j = 0; j < n; ++j) tmp_n[j] += reg_e;
+    if (constrain_e) constrain_e(tmp_n);
+    for (std::size_t j = 0; j < n; ++j) e[j] = double(m) / tmp_n[j];
     A.sq_mv(e.data(), tmp_m.data());
-    for (std::size_t i = 0; i < m; ++i) d[i] = double(n) / (tmp_m[i] + reg_d);
+    for (std::size_t i = 0; i < m; ++i) tmp_m[i] += reg_d;
+    if (constrain_d) constrain_d(tmp_m);
+    for (std::size_t i = 0; i < m; ++i) d[i] = double(n) / tmp_m[i];
   }
   for (auto& v : d) v = std::sqrt(v);
   for (auto& v : e) v = std::sqrt(v);
@@ -211,18 +221,34 @@ struct WarmState {
   double rho = 0.0;           // 0 => use settings.rho
 };
 
+// Generic proximal interface: the separable objective uses FunctionArrays;
+// the cone objective supplies its own callables.
+struct ProxCallbacks {
+  // (v, rho, out) for the x-part (length n) and y-part (length m).
+  std::function<void(const double*, double, double*)> prox_x, prox_y;
+  std::function<double(const double*, const double*)> objective;  // (x12, y12)
+};
+
 template <typename ProjectFn>
-inline Info admm_solve(const LinOp& A, double norm_A,
-                       const FunctionArrays<double>& f_scaled,
-                       const FunctionArrays<double>& g_scaled,
-                       ProjectFn&& project, const Settings& st,
-                       WarmState& warm, double* x12_out, double* y12_out,
-                       double* mu_out, double* nu_out) {
+inline Info admm_solve_impl(const LinOp& A, double norm_A,
+                            const ProxCallbacks& prox, ProjectFn&& project,
+                            const Settings& st, WarmState& warm,
+                            const std::vector<double>* d_scale,
+                            const std::vector<double>* e_scale,
+                            double* x12_out, double* y12_out,
+                            double* mu_out, double* nu_out) {
   // Constants: reference pogs.cpp:94-110.
+  const bool exact_mode = st.use_exact_tol;
   const double kDeltaMin = 1.05, kGamma = 1.01, kTau = 0.8;
   const double kRhoMin = 1e-4, kRhoMax = 1e4, kKappa = 0.9;
-  const double kProjTolMax = 1e-8, kProjTolMin = 1e-2, kProjTolPow = 0.5;
-  const double alpha = 1.7;
+  const double kProjTolMax = exact_mode ? 1e-10 : 1e-8;
+  const double kProjTolMin = exact_mode ? 1e-3 : 1e-2;
+  const double kProjTolPow = exact_mode ? 1.0 : 0.5;
+  const double alpha = exact_mode ? 1.0 : 1.7;
+  const double rho_freq = exact_mode ? 10 : 50;
+  const double imb_thresh = exact_mode ? 5.0 : 10.0;
+  const double clamp_lo = exact_mode ? 0.5 : 0.67;
+  const double clamp_hi = exact_mode ? 2.0 : 1.5;
 
   const std::size_t m = A.m, n = A.n, N = m + n;
   const double sqrtn_atol = std::sqrt(double(n)) * st.abs_tol;
@@ -246,8 +272,8 @@ inline Info admm_solve(const LinOp& A, double norm_A,
 
     // Prox step: z12 = prox(z - zt).
     for (std::size_t i = 0; i < N; ++i) ztemp[i] = z[i] - zt[i];
-    prox_eval(g_scaled, n, ztemp.data(), rho, z12.data());
-    prox_eval(f_scaled, m, ztemp.data() + n, rho, z12.data() + n);
+    prox.prox_x(ztemp.data(), rho, z12.data());
+    prox.prox_y(ztemp.data() + n, rho, z12.data() + n);
 
     // Gap and tolerances (pogs.cpp:266-273).
     for (std::size_t i = 0; i < N; ++i) ztemp[i] -= z12[i];
@@ -281,19 +307,45 @@ inline Info admm_solve(const LinOp& A, double norm_A,
       nrm_r = norm_A * nrm2(n, dz.data()) + nrm2(m, dz.data() + n);
     }
 
-    // Exact residuals only near tolerance (pogs.cpp:310-336).
+    // Exact residuals only near tolerance (pogs.cpp:310-336); exact-tol
+    // mode computes them every iteration in the ORIGINAL space via d/e
+    // (pogs.cpp:210-248).
     bool exact = false;
-    if (nrm_r < 10.0 * eps_pri && nrm_s < 10.0 * eps_dua) {
+    if (exact_mode || (nrm_r < 10.0 * eps_pri && nrm_s < 10.0 * eps_dua)) {
       std::vector<double> rv(m), sv(n), tmp(m);
       A.mv(z12.data(), rv.data());
       for (std::size_t i = 0; i < m; ++i) rv[i] -= z12[n + i];
-      nrm_r = nrm2(m, rv.data());
       for (std::size_t i = 0; i < m; ++i)
         tmp[i] = z12[n + i] + zt[n + i] - zprev[n + i];
       A.rmv(tmp.data(), sv.data());
       for (std::size_t j = 0; j < n; ++j)
         sv[j] += z12[j] + zt[j] - zprev[j];
-      nrm_s = rho * nrm2(n, sv.data());
+      if (exact_mode) {
+        const std::vector<double>& dv = *d_scale;
+        const std::vector<double>& ev = *e_scale;
+        double r2 = 0, ax2 = 0, y2 = 0, s2 = 0, x2 = 0;
+        for (std::size_t i = 0; i < m; ++i) {
+          const double di = dv[i] == 0.0 ? 1.0 : dv[i];
+          const double ro = dv[i] == 0.0 ? 0.0 : rv[i] / di;
+          const double yo = dv[i] == 0.0 ? 0.0 : z12[n + i] / di;
+          const double axo = dv[i] == 0.0 ? 0.0 : (rv[i] + z12[n + i]) / di;
+          r2 += ro * ro; y2 += yo * yo; ax2 += axo * axo;
+        }
+        for (std::size_t j = 0; j < n; ++j) {
+          const double ej = ev[j] == 0.0 ? 1.0 : ev[j];
+          const double so = ev[j] == 0.0 ? 0.0 : sv[j] / ej;
+          const double xo = z12[j] * ev[j];
+          s2 += so * so; x2 += xo * xo;
+        }
+        nrm_r = std::sqrt(r2);
+        nrm_s = rho * std::sqrt(s2);
+        eps_pri = sqrtm_atol +
+                  st.rel_tol * std::max(std::sqrt(ax2), std::sqrt(y2));
+        eps_dua = rho * (sqrtn_atol + st.rel_tol * std::sqrt(x2));
+      } else {
+        nrm_r = nrm2(m, rv.data());
+        nrm_s = rho * nrm2(n, sv.data());
+      }
       exact = true;
     }
 
@@ -320,12 +372,12 @@ inline Info admm_solve(const LinOp& A, double norm_A,
     // Adaptive rho (pogs.cpp:401-466).
     if (st.adaptive_rho && eps_pri > 0.0 && eps_dua > 0.0) {
       const double pri_n = nrm_r / eps_pri, dua_n = nrm_s / eps_dua;
-      const bool spec_slot = k > 0 && k % 50 == 0;
+      const bool spec_slot = k > 0 && k % int(rho_freq) == 0;
       bool handled = false;
       if (spec_slot && pri_n > 0.0 && dua_n > 0.0) {
         const double imb = pri_n / dua_n;
-        if (imb > 10.0 || imb < 0.1) {
-          const double ratio = std::clamp(std::sqrt(imb), 0.67, 1.5);
+        if (imb > imb_thresh || imb < 1.0 / imb_thresh) {
+          const double ratio = std::clamp(std::sqrt(imb), clamp_lo, clamp_hi);
           const double rho_new = std::clamp(rho * ratio, kRhoMin, kRhoMax);
           if (std::abs(rho_new - rho) / rho > 0.05) {
             scal(N, rho / rho_new, zt.data());
@@ -364,8 +416,24 @@ inline Info admm_solve(const LinOp& A, double norm_A,
   info.final_iter = std::min(k, st.max_iter - 1) + 1;
   if (k >= st.max_iter) info.status = kMaxIter;
   info.rho_final = rho;
-  info.optval = func_eval(f_scaled, m, z12.data() + n) +
-                func_eval(g_scaled, n, z12.data());
+  info.optval = prox.objective(z12.data(), z12.data() + n);
+
+  // Post-solve verification in exact-tol mode (pogs.cpp:520-564):
+  // re-check the original-space primal residual, downgrade on miss.
+  if (exact_mode && info.status == kSuccess) {
+    const std::vector<double>& dv = *d_scale;
+    std::vector<double> ax(m);
+    A.mv(z12.data(), ax.data());
+    double r2 = 0, ax2 = 0, y2 = 0;
+    for (std::size_t i = 0; i < m; ++i) {
+      const double di = dv[i] == 0.0 ? 1.0 : dv[i];
+      const double axo = ax[i] / di, yo = z12[n + i] / di;
+      r2 += (axo - yo) * (axo - yo); ax2 += axo * axo; y2 += yo * yo;
+    }
+    const double eps = sqrtm_atol +
+        st.rel_tol * std::max(std::sqrt(ax2), std::sqrt(y2));
+    if (std::sqrt(r2) > eps) info.status = kMaxIter;
+  }
 
   // Scaled duals: (mu, nu) = -rho (zt - zprev + z12) (pogs.cpp:509-518).
   for (std::size_t j = 0; j < n; ++j) {
@@ -382,6 +450,29 @@ inline Info admm_solve(const LinOp& A, double norm_A,
   warm.zt = zt;
   warm.rho = rho;
   return info;
+}
+
+// Separable-objective entry point (graph form with FunctionArrays).
+template <typename ProjectFn>
+inline Info admm_solve(const LinOp& A, double norm_A,
+                       const FunctionArrays<double>& f_scaled,
+                       const FunctionArrays<double>& g_scaled,
+                       ProjectFn&& project, const Settings& st,
+                       WarmState& warm, double* x12_out, double* y12_out,
+                       double* mu_out, double* nu_out) {
+  const std::size_t m = A.m, n = A.n;
+  ProxCallbacks prox;
+  prox.prox_x = [&g_scaled, n](const double* v, double rho, double* out) {
+    prox_eval(g_scaled, n, v, rho, out);
+  };
+  prox.prox_y = [&f_scaled, m](const double* v, double rho, double* out) {
+    prox_eval(f_scaled, m, v, rho, out);
+  };
+  prox.objective = [&, m, n](const double* x12, const double* y12) {
+    return func_eval(f_scaled, m, y12) + func_eval(g_scaled, n, x12);
+  };
+  return admm_solve_impl(A, norm_A, prox, project, st, warm, nullptr,
+                         nullptr, x12_out, y12_out, mu_out, nu_out);
 }
 
 }  // namespace pogs_native

@@ -14,6 +14,7 @@
 #include <vector>
 
 #include "admm.hpp"
+#include "cone.hpp"
 #include "linalg.hpp"
 #include "prox.hpp"
 
@@ -349,6 +350,168 @@ extern "C" int32_t pogs_native_sparse_solve(
     pn::cgls_project(op, x0, y0, tol, cg_max, px, py);
   };
   return run_solve(s, project, settings, fobj, gobj, x, y, mu, nu, info, op);
+}
+
+// ---------------------------------------------------------------------------
+// Cone-form handle (graph-form cone ADMM, exact-tol mode).
+// Mirrors pogs_tpu/solver/cone.py (the non-HSDE path) and the reference's
+// PogsObjectiveCone (src/cpu/pogs.cpp:642-785).
+// ---------------------------------------------------------------------------
+
+struct PogsNativeConeSolver {
+  PogsNativeDense dense;  // reuse the dense matrix + equil + factor plumbing
+  pn::ConeSetNative Kx, Ky;
+
+  bool ensure_init() {
+    if (dense.initialized) return !dense.init_failed;
+    dense.initialized = true;
+    pn::LinOp op = dense.linop();
+    // Cone-averaged Sinkhorn constraints (pogs.cpp:758-782).
+    pn::equilibrate(
+        op, 0.0, dense.d, dense.e,
+        [this](std::vector<double>& w) { Ky.constrain_average(w); },
+        [this](std::vector<double>& w) { Kx.constrain_average(w); });
+    dense.norm_A = pn::norm2_est(op);
+    dense.init_failed =
+        !pn::direct_init(dense.m, dense.n, dense.A.data(), dense.factor);
+    return !dense.init_failed;
+  }
+};
+
+namespace {
+
+bool load_cones(const PogsNativeCone* cones, size_t count, size_t dim,
+                pn::ConeSetNative& out) {
+  out.dim = dim;
+  std::vector<bool> seen(dim, false);
+  for (size_t k = 0; k < count; ++k) {
+    const PogsNativeCone& c = cones[k];
+    if (c.cone == pn::kConeSdp) return false;  // not supported natively
+    if (c.cone < 0 || c.cone > pn::kConeExpDual) return false;
+    if ((c.cone == pn::kConeExpPrimal || c.cone == pn::kConeExpDual) &&
+        c.num_indices != 3)
+      return false;
+    pn::ConeConstraintNative cc;
+    cc.cone = c.cone;
+    cc.indices.reserve(c.num_indices);
+    for (size_t i = 0; i < c.num_indices; ++i) {
+      const int64_t idx = c.indices[i];
+      if (idx < 0 || size_t(idx) >= dim || seen[idx]) return false;
+      seen[idx] = true;
+      cc.indices.push_back(size_t(idx));
+    }
+    out.constraints.push_back(std::move(cc));
+  }
+  return true;
+}
+
+}  // namespace
+
+extern "C" PogsNativeConeSolver* pogs_native_cone_new(
+    int32_t ord, size_t m, size_t n, const double* A,
+    const PogsNativeCone* Kx, size_t num_Kx,
+    const PogsNativeCone* Ky, size_t num_Ky) {
+  if (!A || m == 0 || n == 0) return nullptr;
+  auto* s = new (std::nothrow) PogsNativeConeSolver;
+  if (!s) return nullptr;
+  s->dense.m = m;
+  s->dense.n = n;
+  s->dense.A.resize(m * n);
+  if (ord == POGS_NATIVE_ROW_MAJ) {
+    std::copy(A, A + m * n, s->dense.A.begin());
+  } else {
+    for (size_t i = 0; i < m; ++i)
+      for (size_t j = 0; j < n; ++j) s->dense.A[i * n + j] = A[j * m + i];
+  }
+  if (!load_cones(Kx, num_Kx, n, s->Kx) ||
+      !load_cones(Ky, num_Ky, m, s->Ky)) {
+    delete s;
+    return nullptr;
+  }
+  return s;
+}
+
+extern "C" void pogs_native_cone_free(PogsNativeConeSolver* s) { delete s; }
+
+extern "C" int32_t pogs_native_cone_solve(
+    PogsNativeConeSolver* s, const PogsNativeSettings* settings,
+    const double* b, const double* c,
+    double* x, double* y, double* mu, double* nu, PogsNativeInfo* info) {
+  if (!s || !b || !c) return POGS_NATIVE_ERROR;
+  if (!s->ensure_init()) return POGS_NATIVE_ERROR;
+  const std::size_t m = s->dense.m, n = s->dense.n;
+
+  // Scale by the equilibration (pogs.cpp:1463-1475, 723-726) and normalize
+  // c to unit norm, folding the scale into the optval (pogs.cpp:738-755).
+  std::vector<double> b_s(m), c_n(n);
+  for (std::size_t i = 0; i < m; ++i) b_s[i] = b[i] * s->dense.d[i];
+  double c_nrm = 0.0;
+  for (std::size_t j = 0; j < n; ++j) {
+    c_n[j] = c[j] * s->dense.e[j];
+    c_nrm += c_n[j] * c_n[j];
+  }
+  c_nrm = std::sqrt(c_nrm);
+  const double c_scale = c_nrm > 0 ? 1.0 / std::max(c_nrm, 1e-30) : 1.0;
+  for (auto& v : c_n) v *= c_scale;
+
+  pn::Settings st = to_settings(settings);
+  st.use_exact_tol = true;
+  if (!settings || !settings->warm_start) {
+    s->dense.warm.z.clear();
+    s->dense.warm.zt.clear();
+    s->dense.warm.rho = 0.0;
+  }
+
+  pn::ProxCallbacks prox;
+  const pn::ConeSetNative& Kx = s->Kx;
+  const pn::ConeSetNative& Ky = s->Ky;
+  prox.prox_x = [&](const double* v, double rho, double* out) {
+    // Linear x-step + K_x projection (pogs.cpp:687-721).
+    for (std::size_t j = 0; j < n; ++j) out[j] = v[j] - c_n[j] / rho;
+    Kx.project(out);
+  };
+  prox.prox_y = [&](const double* v, double /*rho*/, double* out) {
+    // y12 = b - Pi_{K_y}(b - v).
+    for (std::size_t i = 0; i < m; ++i) out[i] = b_s[i] - v[i];
+    Ky.project(out);
+    for (std::size_t i = 0; i < m; ++i) out[i] = b_s[i] - out[i];
+  };
+  prox.objective = [&](const double* x12, const double* /*y12*/) {
+    double acc = 0.0;
+    for (std::size_t j = 0; j < n; ++j) acc += c_n[j] * x12[j];
+    return acc / c_scale;
+  };
+
+  const pn::DirectFactor& fac = s->dense.factor;
+  auto project = [&fac](const double* x0, const double* y0, double /*tol*/,
+                        double* px, double* py) {
+    pn::direct_project(fac, x0, y0, px, py);
+  };
+
+  pn::LinOp op = s->dense.linop();
+  std::vector<double> x12(n), y12(m), mus(n), nus(m);
+  pn::Info res = pn::admm_solve_impl(op, s->dense.norm_A, prox, project, st,
+                                     s->dense.warm, &s->dense.d, &s->dense.e,
+                                     x12.data(), y12.data(), mus.data(),
+                                     nus.data());
+  for (std::size_t j = 0; j < n; ++j) {
+    if (x) x[j] = x12[j] * s->dense.e[j];
+    if (mu) mu[j] = mus[j] / s->dense.e[j];
+  }
+  for (std::size_t i = 0; i < m; ++i) {
+    if (y) y[i] = y12[i] / s->dense.d[i];
+    if (nu) nu[i] = nus[i] * s->dense.d[i];
+  }
+  if (info) {
+    info->optval = res.optval;
+    info->final_iter = res.final_iter;
+    info->status = res.status;
+    info->nrm_r = res.nrm_r;
+    info->nrm_s = res.nrm_s;
+    info->gap = res.gap;
+    info->rho_final = res.rho_final;
+  }
+  return res.status;
 }
 
 // ---------------------------------------------------------------------------

@@ -212,11 +212,41 @@ static void test_sparse_matches_dense() {
   CHECK_NEAR(id_.optval, is_.optval, 1e-3 * (1.0 + std::abs(id_.optval)));
 }
 
+// Cone LP with known solution: min x1 + 2 x2 s.t. x1 + x2 = 1, x >= 0.
+static void test_cone_lp() {
+  const size_t m = 3, n = 2;
+  const double A[m * n] = {1.0, 1.0, -1.0, 0.0, 0.0, -1.0};
+  const double b[m] = {1.0, 0.0, 0.0};
+  const double c[n] = {1.0, 2.0};
+  const int64_t zero_idx[1] = {0};
+  const int64_t pos_idx[2] = {1, 2};
+  PogsNativeCone Ky[2] = {{0 /*ZERO*/, zero_idx, 1},
+                          {1 /*NON_NEG*/, pos_idx, 2}};
+
+  PogsNativeConeSolver* s =
+      pogs_native_cone_new(POGS_NATIVE_ROW_MAJ, m, n, A, nullptr, 0, Ky, 2);
+  CHECK(s != nullptr);
+  PogsNativeSettings st;
+  pogs_native_settings_default(&st);
+  st.abs_tol = 1e-6;
+  st.rel_tol = 1e-6;
+  double x[n], y[m];
+  PogsNativeInfo info;
+  const int32_t status = pogs_native_cone_solve(s, &st, b, c, x, y, nullptr,
+                                                nullptr, &info);
+  pogs_native_cone_free(s);
+  CHECK(status == POGS_NATIVE_SUCCESS);
+  CHECK_NEAR(info.optval, 1.0, 2e-3);
+  CHECK_NEAR(x[0], 1.0, 5e-3);
+  CHECK_NEAR(x[1], 0.0, 5e-3);
+}
+
 int main() {
   test_identity_lasso();
   test_random_lasso_kkt();
   test_warm_start_path();
   test_sparse_matches_dense();
+  test_cone_lp();
   if (failures == 0) {
     std::printf("native smoke tests: ALL PASSED\n");
     return 0;

@@ -120,3 +120,69 @@ def test_enum_abi_stability():
     assert int(Status.SUCCESS) == 0
     assert int(Status.MAX_ITER) == 3
     assert int(Status.NAN_FOUND) == 4
+
+
+def test_cone_lp_native(native):
+    """LP with known solution: min x1 + 2 x2 s.t. x1+x2 = 1, x >= 0."""
+    from pogs_tpu.types import Cone, ConeConstraint
+
+    A = np.array([[1.0, 1.0], [-1.0, 0.0], [0.0, -1.0]])
+    b = np.array([1.0, 0.0, 0.0])
+    c = np.array([1.0, 2.0])
+    Ky = [ConeConstraint(Cone.ZERO, [0]), ConeConstraint(Cone.NON_NEG, [1, 2])]
+    out = native.solve_cone_native(A, b, c, Ky=Ky, abs_tol=1e-6, rel_tol=1e-6)
+    assert out["status"] == Status.SUCCESS
+    assert out["optval"] == pytest.approx(1.0, abs=1e-3)
+    np.testing.assert_allclose(out["x"], [1.0, 0.0], atol=2e-3)
+
+
+def test_cone_socp_native_matches_python(native):
+    """SOCP with closed form: min c'x s.t. ||x − x0|| ≤ r
+    → x* = x0 − r c/||c||, optval = c'x0 − r||c||."""
+    from pogs_tpu.types import Cone, ConeConstraint
+    from pogs_tpu.api.cone import solve_cone
+
+    rng = np.random.default_rng(3)
+    n = 5
+    x0 = rng.standard_normal(n)
+    c = rng.standard_normal(n)
+    r = 1.5
+    # b − Ax = (r, x − x0) ∈ SOC.
+    A = np.vstack([np.zeros((1, n)), -np.eye(n)])
+    b = np.concatenate([[r], -x0])
+    Ky = [ConeConstraint(Cone.SOC, range(n + 1))]
+    expect = float(c @ x0 - r * np.linalg.norm(c))
+
+    out_n = native.solve_cone_native(A, b, c, Ky=Ky, abs_tol=1e-7,
+                                     rel_tol=1e-7, max_iter=20000)
+    assert out_n["status"] == Status.SUCCESS
+    assert out_n["optval"] == pytest.approx(expect, rel=1e-3, abs=1e-3)
+
+    out_p = solve_cone(A, b, c, Ky=Ky, abs_tol=1e-6, rel_tol=1e-6,
+                       max_iter=10000, dtype="float64")
+    assert out_p["status"] == int(Status.SUCCESS)
+    assert out_n["optval"] == pytest.approx(out_p["optval"], rel=1e-3, abs=1e-3)
+
+
+def test_cone_native_rejects_sdp(native):
+    from pogs_tpu.types import Cone, ConeConstraint
+
+    A = np.eye(3)
+    Ky = [ConeConstraint(Cone.SDP, [0, 1, 2])]
+    with pytest.raises(RuntimeError, match="SDP"):
+        native.NativeConeSolver(A, Ky=Ky)
+
+
+def test_cone_exp_native(native):
+    """Exponential-cone feasibility: min t s.t. (1, 1, t) in K_exp → t = e."""
+    from pogs_tpu.types import Cone, ConeConstraint
+
+    # variables x = (t,); rows: b - Ax = (1, 1, t) in EXP_PRIMAL
+    A = np.array([[0.0], [0.0], [-1.0]])
+    b = np.array([1.0, 1.0, 0.0])
+    c = np.array([1.0])
+    Ky = [ConeConstraint(Cone.EXP_PRIMAL, [0, 1, 2])]
+    out = native.solve_cone_native(A, b, c, Ky=Ky, abs_tol=1e-7, rel_tol=1e-7,
+                                   max_iter=10000)
+    assert out["status"] == Status.SUCCESS
+    assert out["x"][0] == pytest.approx(np.e, rel=1e-2)
