@@ -1,0 +1,141 @@
+"""Mesh-sharded execution tests (8-device virtual CPU mesh).
+
+SURVEY.md §5.8: the distributed capability is row-sharding A over a
+``jax.sharding.Mesh`` and letting GSPMD insert the collectives.  These
+tests verify the sharded solve produces the SAME results as the
+single-device solve — collectives change the schedule, not the math —
+and that the mesh helpers place data as advertised.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from pogs_tpu.types import Function, FunctionVector, SolverSettings, Status
+from pogs_tpu.parallel.mesh import make_mesh, shard_matrix, replicate, pad_rows_to
+from pogs_tpu.parallel.batch import solve_lasso_path, batched_graph_solve
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh((8,), ("rows",))
+
+
+@pytest.fixture(scope="module")
+def mesh24():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh((2, 4), ("batch", "rows"))
+
+
+def _problem(m, n, seed=0):
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((m, n)).astype(np.float32)
+    b = rng.standard_normal(m).astype(np.float32)
+    lam = 0.2 * float(np.max(np.abs(A.T @ b)))
+    return A, b, lam
+
+
+def test_mesh_helpers_place_data(mesh8):
+    A = np.arange(64 * 4, dtype=np.float32).reshape(64, 4)
+    A_sh = shard_matrix(A, mesh8)
+    assert A_sh.sharding.spec == P("rows", None)
+    assert len(A_sh.sharding.device_set) == 8
+    x = replicate(np.ones(4, np.float32), mesh8)
+    assert x.sharding.spec == P()
+    np.testing.assert_array_equal(np.asarray(A_sh), A)
+
+
+def test_pad_rows_to():
+    A = np.ones((10, 3))
+    b = np.ones(10)
+    A_p, b_p, m0 = pad_rows_to(A, b, 8)
+    assert A_p.shape == (16, 3) and b_p.shape == (16,) and m0 == 10
+    assert np.all(A_p[10:] == 0) and np.all(b_p[10:] == 0)
+
+
+def test_row_sharded_solve_matches_single_device(mesh8):
+    """Full solve with A row-sharded == unsharded solve (same compile-time
+    semantics, different schedule)."""
+    from pogs_tpu.solver.graph import GraphFormSolver
+
+    m, n = 64, 24
+    A, b, lam = _problem(m, n, seed=1)
+    f = FunctionVector(Function.SQUARE, m, b=b, dtype=jnp.float32)
+    g = FunctionVector(Function.ABS, n, c=lam, dtype=jnp.float32)
+    st = SolverSettings(abs_tol=1e-5, rel_tol=1e-5, use_fused=False)
+
+    res_ref = GraphFormSolver(A, dtype=jnp.float32, settings=st).solve(f, g)
+
+    A_sh = shard_matrix(jnp.asarray(A), mesh8)
+    res_sh = GraphFormSolver(A_sh, dtype=jnp.float32, settings=st).solve(f, g)
+
+    assert res_ref.status == Status.SUCCESS
+    assert res_sh.status == Status.SUCCESS
+    assert int(res_sh.final_iter) == int(res_ref.final_iter)
+    np.testing.assert_allclose(
+        np.asarray(res_sh.x), np.asarray(res_ref.x), atol=5e-4
+    )
+
+
+def test_batched_path_on_2d_mesh(mesh24):
+    """λ-path batch sharded over 'batch', A row-sharded over 'rows'."""
+    m, n, K = 32, 12, 8
+    A, b, _ = _problem(m, n, seed=2)
+    lambdas = np.linspace(0.5, 0.1, K).astype(np.float32)
+
+    out_ref = solve_lasso_path(A, b, lambdas)
+    out_sh = solve_lasso_path(A, b, lambdas, mesh=mesh24)
+
+    assert bool(jnp.all(out_ref["status"] == 0))
+    assert bool(jnp.all(out_sh["status"] == 0))
+    np.testing.assert_allclose(
+        np.asarray(out_sh["x"]), np.asarray(out_ref["x"]), atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_sh["optval"]), np.asarray(out_ref["optval"]),
+        rtol=1e-4,
+    )
+
+
+def test_sharded_equilibration_and_norm(mesh8):
+    """Init-time pieces (Sinkhorn, power method, Gram) under row sharding."""
+    from pogs_tpu.linalg.equil import equilibrate
+    from pogs_tpu.linalg.norm import norm2_est
+
+    m, n = 64, 16
+    A, _, _ = _problem(m, n, seed=3)
+
+    @jax.jit
+    def init(A):
+        eq = equilibrate(A)
+        return eq.A, eq.d, eq.e, norm2_est(eq.A)
+
+    Ar, dr, er, nr = init(jnp.asarray(A))
+    A_sh = shard_matrix(jnp.asarray(A), mesh8)
+    As, ds, es, ns = init(A_sh)
+    np.testing.assert_allclose(np.asarray(ds), np.asarray(dr), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(es), np.asarray(er), rtol=1e-5)
+    assert float(ns) == pytest.approx(float(nr), rel=1e-4)
+
+
+def test_explicit_shard_map_matvec(mesh8):
+    """The manual collective plan: local gemv + psum for Aᵀy."""
+    from jax import shard_map
+
+    m, n = 64, 16
+    A, b, _ = _problem(m, n, seed=4)
+    A_dev = jax.device_put(jnp.asarray(A), NamedSharding(mesh8, P("rows", None)))
+    y_dev = jax.device_put(jnp.asarray(b), NamedSharding(mesh8, P("rows")))
+
+    def local_rmv(A_blk, y_blk):
+        return jax.lax.psum(A_blk.T @ y_blk, "rows")
+
+    rmv = shard_map(local_rmv, mesh=mesh8,
+                    in_specs=(P("rows", None), P("rows")), out_specs=P())
+    out = jax.jit(rmv)(A_dev, y_dev)
+    np.testing.assert_allclose(np.asarray(out), A.T @ b, rtol=2e-4)
