@@ -1,0 +1,66 @@
+"""The native host runtime: C ABI solves from Python via ctypes.
+
+Builds libpogs_tpu_native in-tree if needed (requires cmake + C++20),
+then solves a lasso and an LP through the C ABI and cross-checks the
+lasso against the JAX solver.
+"""
+
+import numpy as np
+
+from common import banner
+
+
+def make_lasso_problem(m, n, seed=0):
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((m, n))
+    x_true = rng.standard_normal(n) * (rng.random(n) < 0.1)
+    b = A @ x_true + 0.1 * rng.standard_normal(m)
+    lam_max = float(np.max(np.abs(A.T @ b)))
+    return A, b, lam_max
+
+
+def main():
+    from pogs_tpu import native
+    from pogs_tpu.types import (
+        Cone, ConeConstraint, Function, FunctionVector, Status,
+    )
+
+    if not native.is_available():
+        try:
+            native.build()
+        except Exception as exc:
+            print(f"native runtime unavailable ({exc}); skipping example")
+            return
+
+    print(f"native runtime version {native.version()}")
+
+    # Graph form: lasso through the C ABI.
+    A, b, lam_max = make_lasso_problem(120, 60, seed=1)
+    m, n = A.shape
+    f = FunctionVector(Function.SQUARE, m, b=b)
+    g = FunctionVector(Function.ABS, n, c=0.5 * lam_max)
+    out = native.solve_graph_native(A, f, g, abs_tol=1e-6, rel_tol=1e-6)
+    print(f"native lasso : status={out['status'].name} "
+          f"optval={out['optval']:.5f} iters={out['iterations']}")
+    assert out["status"] == Status.SUCCESS
+
+    from pogs_tpu import solve_lasso
+    ref = solve_lasso(A, b, 0.5 * lam_max, abs_tol=1e-6, rel_tol=1e-6)
+    print(f"jax    lasso : optval={ref['optval']:.5f} "
+          f"(agreement {abs(ref['optval'] - out['optval']):.2e})")
+
+    # Cone form: LP with known solution (min x1 + 2 x2, x1+x2=1, x>=0).
+    A_lp = np.array([[1.0, 1.0], [-1.0, 0.0], [0.0, -1.0]])
+    b_lp = np.array([1.0, 0.0, 0.0])
+    c_lp = np.array([1.0, 2.0])
+    Ky = [ConeConstraint(Cone.ZERO, [0]), ConeConstraint(Cone.NON_NEG, [1, 2])]
+    lp = native.solve_cone_native(A_lp, b_lp, c_lp, Ky=Ky,
+                                  abs_tol=1e-6, rel_tol=1e-6)
+    print(f"native LP    : status={lp['status'].name} "
+          f"optval={lp['optval']:.5f} x={np.round(lp['x'], 4)}")
+    assert lp["status"] == Status.SUCCESS
+    assert abs(lp["optval"] - 1.0) < 1e-2
+
+
+if __name__ == "__main__":
+    main()

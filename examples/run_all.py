@@ -4,7 +4,8 @@ import sys, os
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 MODULES = ["lasso", "lasso_path", "logistic", "lp", "nonneg_ls", "svm",
-           "quantile_regression", "huber_fit", "sdp", "portfolio"]
+           "quantile_regression", "huber_fit", "sdp", "portfolio",
+           "lasso_path_batched", "native_runtime"]
 
 for name in MODULES:
     mod = importlib.import_module(name)
