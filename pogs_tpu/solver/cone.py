@@ -89,7 +89,16 @@ class ConeSolver:
             projector = "cgls"  # sparse pairs with CGLS (pogs.cpp:1979-2010)
         self.projector = projector
         if strategy is None:
-            strategy = "smw" if projector == "direct" else "cg"
+            # Reference selection (pogs.cpp:1510-1614): SMW through the
+            # graph projector for dense LPs; direct normal-equations
+            # Cholesky for small embeddings (kDirectLimit = 2000); Jacobi-
+            # preconditioned CG otherwise.
+            if projector == "direct" and not self.A.is_sparse:
+                strategy = "smw"
+            elif self.n + self.m + 1 <= 2000:
+                strategy = "direct"
+            else:
+                strategy = "cg"
         self.strategy = strategy
         self._init_state = None
         self.rho = float(base.rho)

@@ -263,12 +263,30 @@ def hsde_solve(
 
         def lin_solve(u, fp_resid):
             return smw_solve(factor, A, b, c, u)
-    elif strategy == "inverse":
+    elif strategy in ("direct", "inverse"):
+        # Direct normal-equations solve for (I+Q)w = u: Cholesky of
+        # G = MᵀM + δI with static regularization and two iterative-
+        # refinement steps against the unregularized system
+        # (pogs.cpp:1527-1614; Cholesky-based — f64 LU/inv does not lower
+        # on TPU).
         M = dense_q(A, b, c, P)
-        Minv = jnp.linalg.inv(M)
+        delta = jnp.asarray(
+            (1e-6 if dt == jnp.float32 else 1e-12) * dim, dt
+        )
+        G = jnp.matmul(M.T, M, precision=_PRECISION)
+        G = G + delta * jnp.eye(dim, dtype=dt)
+        L = jnp.linalg.cholesky(G)
+
+        def _solve_G(r):
+            return jax.scipy.linalg.cho_solve((L, True), r)
 
         def lin_solve(u, fp_resid):
-            return _mv(Minv, u)
+            rhs = _mv(M.T, u)
+            w = _solve_G(rhs)
+            for _ in range(2):  # refinement vs the unregularized MᵀM
+                resid = rhs - _mv(M.T, _mv(M, w))
+                w = w + _solve_G(resid)
+            return w
     elif strategy == "cg":
         inv_diag = jacobi_inv_diag(A, b, c, P)
         cg_max = min(20000, 20 * dim)

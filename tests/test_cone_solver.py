@@ -163,3 +163,26 @@ def test_hsde_qp(rng):
     res = solver.solve(b, c, P=P, settings=_settings(max_iter=20000))
     assert res.status == Status.SUCCESS
     np.testing.assert_allclose(np.asarray(res.x), x_star, atol=1e-3)
+
+
+def test_hsde_strategies_agree():
+    """All three HSDE linear-solve strategies produce the same LP solution
+    (SURVEY.md §2.1: SMW / direct normal-equations / Jacobi-PCG)."""
+    import numpy as np
+    from pogs_tpu.types import Cone, ConeConstraint, Status
+    from pogs_tpu.api.cone import solve_cone
+
+    A = np.array([[1.0, 1.0], [-1.0, 0.0], [0.0, -1.0]])
+    b = np.array([1.0, 0.0, 0.0])
+    c = np.array([1.0, 2.0])
+    Ky = [ConeConstraint(Cone.ZERO, [0]), ConeConstraint(Cone.NON_NEG, [1, 2])]
+
+    vals = {}
+    for strat in ("smw", "direct", "cg"):
+        out = solve_cone(A, b, c, Ky=Ky, strategy=strat,
+                         abs_tol=1e-7, rel_tol=1e-7, dtype="float64")
+        assert out["status"] == int(Status.SUCCESS), strat
+        vals[strat] = out["optval"]
+    assert abs(vals["smw"] - 1.0) < 1e-4
+    assert abs(vals["direct"] - vals["smw"]) < 1e-4
+    assert abs(vals["cg"] - vals["smw"]) < 1e-4
