@@ -33,6 +33,9 @@ from pogs_tpu.types import (
     Status,
     SolverSettings,
     SolverResult,
+    # Reference-spelling function aliases (kAbs = Function.ABS, ...).
+    kAbs, kExp, kHuber, kIdentity, kIndBox01, kIndEq0, kIndGe0, kIndLe0,
+    kLogistic, kMaxNeg0, kMaxPos0, kNegEntr, kNegLog, kRecipr, kSquare, kZero,
 )
 from pogs_tpu.prox import prox_eval, func_eval, proj_subgrad_eval
 from pogs_tpu.solver import SolverState, admm_solve, GraphFormSolver
@@ -96,4 +99,7 @@ __all__ = [
     "device_time",
     "save_state",
     "load_state",
+    "kAbs", "kExp", "kHuber", "kIdentity", "kIndBox01", "kIndEq0",
+    "kIndGe0", "kIndLe0", "kLogistic", "kMaxNeg0", "kMaxPos0",
+    "kNegEntr", "kNegLog", "kRecipr", "kSquare", "kZero",
 ]

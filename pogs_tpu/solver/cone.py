@@ -93,7 +93,9 @@ class ConeSolver:
             # graph projector for dense LPs; direct normal-equations
             # Cholesky for small embeddings (kDirectLimit = 2000); Jacobi-
             # preconditioned CG otherwise.
-            if projector == "direct" and not self.A.is_sparse:
+            if self.A.is_sparse:
+                strategy = "cg"  # matrix-free; 'direct' would densify Q
+            elif projector == "direct":
                 strategy = "smw"
             elif self.n + self.m + 1 <= 2000:
                 strategy = "direct"
@@ -304,6 +306,9 @@ class ConeSolver:
                     A, b_s, c_s, Ky, P=P_s, strategy=strategy,
                     abs_tol=settings.abs_tol, rel_tol=settings.rel_tol,
                     max_iter=settings.max_iter, smw_factor=smw_factor,
+                    use_anderson=settings.use_anderson,
+                    anderson_mem=settings.anderson_mem,
+                    anderson_start=settings.anderson_start,
                 )
                 w = out["w"]
                 tau = w[n + m]

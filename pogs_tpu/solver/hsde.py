@@ -24,11 +24,12 @@ Linear-solver strategies for (I + Q) w = u (all factor ONCE — Q is fixed):
                 (I + P + AᵀA)^{-1}: 4 gemv per iteration (pogs.cpp:1106-1357;
                 the reference restricts SMW to LP — with the Gram operator
                 extended by P it covers the QP embedding too).
-  * 'inverse' — explicit inv(I + Q) (dim×dim): ONE gemv per iteration on
-                the MXU.  (The reference's 'direct' instead factors the
-                normal equations QᵀQ with a regularization retry loop,
-                pogs.cpp:1527-1614 — unnecessary once we can invert the
-                nonsymmetric I+Q directly; I + skew + PSD is nonsingular.)
+  * 'direct'  — normal-equations Cholesky of MᵀM + δI (M = I+Q) with
+                static regularization and iterative refinement
+                (pogs.cpp:1527-1614), for embeddings small enough to
+                factor (reference kDirectLimit: dim ≤ 2000).  Cholesky-
+                based because f64 LU/inv does not lower on TPU.
+                ('inverse' is accepted as an alias.)
   * 'cg'      — Jacobi-preconditioned CG on the normal equations with
                 residual-tied tolerance (pogs.cpp:1359-1410), for operators
                 too big to factor.
@@ -45,6 +46,7 @@ from jax import lax
 
 from pogs_tpu.types import Status
 from pogs_tpu.cones.sets import ConeSet
+from pogs_tpu.solver.anderson import AndersonState, anderson_init, anderson_step
 
 _PRECISION = lax.Precision.HIGHEST
 
@@ -231,6 +233,7 @@ class HsdeState(NamedTuple):
     r_pri: jax.Array
     r_dua: jax.Array
     gap: jax.Array
+    aa: AndersonState
 
 
 def hsde_solve(
@@ -244,6 +247,9 @@ def hsde_solve(
     rel_tol: float = 1e-3,
     max_iter: int = 2500,
     smw_factor=None,
+    use_anderson: bool = False,
+    anderson_mem: int = 5,
+    anderson_start: int = 10,
 ):
     """Run the HSDE DR iteration on the *scaled* problem. Pure/traceable.
 
@@ -396,6 +402,19 @@ def hsde_solve(
         z = jnp.concatenate([v[:n], z_y, jnp.maximum(v[n + m], 0.0)[None]])
         u = st.u + st.alpha * (z - w)
         fp_resid = jnp.linalg.norm(z - w)
+        if use_anderson:
+            # Type-II AA on the DR fixed-point map u ↦ u⁺ (Anderson-
+            # accelerated Douglas–Rachford, arXiv:1908.11482), safeguarded:
+            # the history resets whenever the fixed-point residual grows,
+            # which reverts the next step to plain DR.
+            u_acc, aa_state = anderson_step(st.aa, st.u, u)
+            grew = fp_resid > 1.0 * st.fp_resid
+            aa_state = aa_state._replace(
+                k=jnp.where(grew, 0, aa_state.k)
+            )
+            take = (st.k >= anderson_start) & jnp.logical_not(grew)
+            u = jnp.where(take, u_acc, u)
+            st = st._replace(aa=aa_state)
         st = st._replace(u=u, w=w, fp_resid=fp_resid)
 
         st = lax.cond(
@@ -418,6 +437,8 @@ def hsde_solve(
         r_pri=jnp.asarray(0.0, dt),
         r_dua=jnp.asarray(0.0, dt),
         gap=jnp.asarray(0.0, dt),
+        aa=anderson_init(dim if use_anderson else 0,
+                         anderson_mem if use_anderson else 1, dt),
     )
     st = lax.while_loop(lambda s: jnp.logical_not(s.done), body, init)
 

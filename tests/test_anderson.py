@@ -1,6 +1,7 @@
 """Anderson acceleration: unit behavior + solver integration."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -57,3 +58,23 @@ def test_anderson_solver_integration(rng):
     assert res_aa.status == Status.SUCCESS
     np.testing.assert_allclose(np.asarray(res_aa.x), np.asarray(res_plain.x),
                                atol=1e-4)
+
+
+def test_anderson_hsde_lp():
+    import pytest
+    """Anderson-accelerated HSDE still solves the LP correctly
+    (safeguarded type-II AA on the DR fixed point, arXiv:1908.11482)."""
+    import numpy as np
+    from pogs_tpu.types import Cone, ConeConstraint, SolverSettings, Status
+    from pogs_tpu.solver.cone import ConeSolver
+
+    A = np.array([[1.0, 1.0], [-1.0, 0.0], [0.0, -1.0]])
+    b = np.array([1.0, 0.0, 0.0])
+    c = np.array([1.0, 2.0])
+    Ky = [ConeConstraint(Cone.ZERO, [0]), ConeConstraint(Cone.NON_NEG, [1, 2])]
+
+    st = SolverSettings(abs_tol=1e-7, rel_tol=1e-7, use_anderson=True)
+    solver = ConeSolver(A, Ky=Ky, settings=st, dtype="float64")
+    res = solver.solve(b, c)
+    assert res.status == Status.SUCCESS
+    assert float(res.optval) == pytest.approx(1.0, abs=1e-4)
