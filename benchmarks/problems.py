@@ -155,3 +155,56 @@ def portfolio(n_assets=300, n_factors=30, seed=42, gamma=1.0):
                    -np.eye(n_assets)])
     b = np.concatenate([[1.0], [-1.0], np.zeros(n_assets)])
     return {"P": P, "c": c, "A": A, "b": b, "dims": {"l": A.shape[0]}}
+
+
+def tv_denoising(n=500, seed=42, lam=1.0):
+    """1-D total-variation denoising (signal benchmark,
+    python/benchmarks/signal_processing_benchmark.py style):
+        min 0.5||x - y||^2 + lam * ||D x||_1
+    in graph form with A = [I; D] (D the first-difference operator),
+    f = [Square(y); Abs*lam], g = Zero."""
+    rng = np.random.default_rng(seed)
+    # Piecewise-constant ground truth + noise.
+    truth = np.repeat(rng.standard_normal(max(n // 50, 2)), 50)[:n]
+    y = truth + 0.2 * rng.standard_normal(n)
+    D = np.zeros((n - 1, n))
+    idx = np.arange(n - 1)
+    D[idx, idx] = -1.0
+    D[idx, idx + 1] = 1.0
+    A = np.vstack([np.eye(n), D])
+    return {"A": A, "y": y, "lam": lam, "truth": truth}
+
+
+def mpc_qp(horizon=30, nx=8, nu=3, seed=42):
+    """Condensed linear MPC tracking QP (control benchmark,
+    python/benchmarks/control_benchmark.py style):
+        min 0.5 u' H u + f' u   s.t.  -u_max <= u_k <= u_max
+    with H from a stable random (A_d, B_d) system over the horizon."""
+    rng = np.random.default_rng(seed)
+    Ad = rng.standard_normal((nx, nx))
+    Ad *= 0.95 / max(np.abs(np.linalg.eigvals(Ad)))
+    Bd = rng.standard_normal((nx, nu))
+    x0 = rng.standard_normal(nx)
+    Q = np.eye(nx)
+    R = 0.1 * np.eye(nu)
+    # Prediction matrices: x_k = Ad^k x0 + sum_j Ad^(k-1-j) Bd u_j.
+    N = horizon
+    Su = np.zeros((N * nx, N * nu))
+    Sx = np.zeros((N * nx, nx))
+    Apow = np.eye(nx)
+    for k in range(N):
+        Apow = Apow @ Ad
+        Sx[k * nx:(k + 1) * nx] = Apow
+        blk = Bd
+        for j in range(k, -1, -1):
+            Su[k * nx:(k + 1) * nx, j * nu:(j + 1) * nu] = blk
+            blk = Ad @ blk
+    Qbar = np.kron(np.eye(N), Q)
+    Rbar = np.kron(np.eye(N), R)
+    H = Su.T @ Qbar @ Su + Rbar
+    f = Su.T @ Qbar @ Sx @ x0
+    u_max = 1.0
+    nN = N * nu
+    A = np.vstack([np.eye(nN), -np.eye(nN)])
+    b = np.full(2 * nN, u_max)
+    return {"P": H, "c": f, "A": A, "b": b, "dims": {"l": 2 * nN}}

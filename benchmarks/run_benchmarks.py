@@ -59,6 +59,16 @@ def _graph_spec(name, m, n, seed):
         p = problems.svm(m, n, seed=seed)
         f = FunctionVector(Function.MAXPOS0, m, a=-p["b"], b=-1.0, dtype=jnp.float32)
         g = FunctionVector(Function.SQUARE, n, c=p["lambd"], dtype=jnp.float32)
+    elif name == "tv_denoising":
+        p = problems.tv_denoising(n=n)
+        sz = p["y"].shape[0]
+        h = np.r_[np.full(sz, int(Function.SQUARE)),
+                  np.full(sz - 1, int(Function.ABS))]
+        f = FunctionVector(h, b=np.r_[p["y"], np.zeros(sz - 1)],
+                           c=np.r_[np.ones(sz), np.full(sz - 1, p["lam"])],
+                           dtype=jnp.float32)
+        g = FunctionVector(Function.ZERO, sz, dtype=jnp.float32)
+        return p["A"].astype(np.float32), f, g
     else:
         raise ValueError(name)
     return p["A"].astype(np.float32), f, g
@@ -85,10 +95,32 @@ def bench_graph(name, m=500, n=300, reps=30, seed=42):
 
     batch(0)  # ramp
     ms = float(np.median([batch(1), batch(2), batch(3)]))
+
+    # Device-bound throughput: K independent solves (a λ-sweep over g.c)
+    # in ONE launch through the vmapped path.
+    from pogs_tpu.parallel.batch import batched_graph_solve
+
+    K = 64
+    base_c = np.asarray(g.c, np.float32)
+    c_batch = base_c[None, :] * np.linspace(1.0, 0.5, K)[:, None].astype(np.float32)
+    out = batched_graph_solve(A, f, g, c_batch, settings=settings)
+    jax.block_until_ready(out["optval"])
+    bts = []
+    for rep in range(4):
+        cb = c_batch * (1.0 + 1e-4 * (rep + 1))
+        t0 = time.perf_counter()
+        o = batched_graph_solve(A, f, g, cb, settings=settings)
+        jax.block_until_ready(o["optval"])
+        bts.append(time.perf_counter() - t0)
+    batched_ms = float(np.median(bts[1:])) * 1e3 / K
+
     return {"problem": name, "m": m, "n": n, "ms": round(ms, 3),
+            "batched_ms": round(batched_ms, 3),
             "iterations": iters, "status": status.name,
             "ref_ms": REFERENCE_MS.get(name),
             "speedup_vs_ref": round(REFERENCE_MS[name] / ms, 1)
+            if name in REFERENCE_MS else None,
+            "batched_speedup_vs_ref": round(REFERENCE_MS[name] / batched_ms, 1)
             if name in REFERENCE_MS else None}
 
 
@@ -115,26 +147,31 @@ def main():
 
     results = []
     print(f"backend: {jax.devices()[0].platform}\n")
-    print("| Problem | Size | time/solve | iters | ref (M1) | speedup |")
-    print("|---------|------|-----------:|------:|---------:|--------:|")
+    print("| Problem | Size | time/solve | batched/solve | iters | ref (M1) | speedup | batched speedup |")
+    print("|---------|------|-----------:|--------------:|------:|---------:|--------:|----------------:|")
     for name in ["lasso", "ridge", "logistic", "elastic_net", "svm"]:
         r = bench_graph(name, reps=args.reps)
         results.append(r)
         print(f"| {r['problem']} | {r['m']}x{r['n']} | {r['ms']:.2f} ms "
-              f"| {r['iterations']} | {r['ref_ms']} ms | {r['speedup_vs_ref']}x |")
+              f"| {r['batched_ms']:.2f} ms | {r['iterations']} "
+              f"| {r['ref_ms']} ms | {r['speedup_vs_ref']}x "
+              f"| {r['batched_speedup_vs_ref']}x |")
 
     if args.sizes:
         for m, n in [(500, 250), (1000, 500), (2000, 1000), (4000, 2000)]:
             r = bench_graph("lasso", m=m, n=n, reps=max(args.reps // 3, 5))
             results.append(r)
             print(f"| lasso | {m}x{n} | {r['ms']:.2f} ms | {r['iterations']} | — | — |")
+        r = bench_graph("tv_denoising", n=1000, reps=max(args.reps // 3, 5))
+        results.append(r)
+        print(f"| tv_denoising | n=1000 | {r['ms']:.2f} ms | {r['iterations']} | — | — |")
 
     if args.cone:
         print("\n| Cone problem | Size | wall (1 call) | iters | status |")
         print("|--------------|------|--------------:|------:|--------|")
         for name, kw in [("lp_ineq", {}), ("lp_eq", {}), ("qp_box", {}),
                          ("socp_ball", {}), ("sdp_min_eig", {}),
-                         ("portfolio", {})]:
+                         ("portfolio", {}), ("mpc_qp", {})]:
             r = bench_cone(name, **kw)
             results.append(r)
             print(f"| {r['problem']} | {r['m']}x{r['n']} | {r['ms_single_call']} ms "

@@ -53,9 +53,11 @@ def solve_graph_form(
 
 
 def _as_dense(A, dtype):
-    # scipy-sparse inputs densify for now (sparse path: pogs_tpu.sparse).
-    if hasattr(A, "toarray"):
-        A = A.toarray()
+    """Pass scipy-sparse / BCOO through untouched (GraphFormSolver routes
+    them to the CGLS projector, matching the reference's sparse path);
+    everything else becomes a dense ndarray."""
+    if hasattr(A, "tocoo") or hasattr(A, "indices"):
+        return A, A.shape
     return np.asarray(A), np.asarray(A).shape
 
 

@@ -29,6 +29,27 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Initialize multi-host JAX (idempotent). Returns the global device
+    count.  On a single host this is a no-op; on a pod/multi-slice it wires
+    jax.distributed so meshes span all hosts (collectives ride ICI within a
+    slice, DCN across slices)."""
+    try:
+        if num_processes is not None and num_processes > 1:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        elif coordinator_address is not None:
+            jax.distributed.initialize(coordinator_address=coordinator_address)
+    except RuntimeError:
+        pass  # already initialized
+    return len(jax.devices())
+
+
 def make_mesh(
     shape: Union[int, Tuple[int, ...], None] = None,
     axis_names: Sequence[str] = ("rows",),

@@ -92,3 +92,18 @@ def test_sparse_cone_lp(rng):
     assert res.status == Status.SUCCESS
     ref = linprog(c, A_ub=A_full.toarray(), b_ub=b, bounds=(None, None), method="highs")
     np.testing.assert_allclose(float(res.optval), ref.fun, rtol=1e-3, atol=1e-4)
+
+
+def test_builders_keep_sparse(rng):
+    """solve_lasso with a scipy-sparse A must use the sparse/CGLS path
+    (parity: python/pogs/graph.py accepts scipy sparse without densifying)."""
+    from pogs_tpu import solve_lasso
+
+    A = sp.random(60, 30, density=0.3, random_state=3, format="csr")
+    b = rng.normal(size=60)
+    lam = 0.2 * float(np.max(np.abs(A.T @ b)))
+    out = solve_lasso(A, b, lam, abs_tol=1e-5, rel_tol=1e-5)
+    assert out["status"] == 0
+    dense_out = solve_lasso(np.asarray(A.todense()), b, lam,
+                            abs_tol=1e-5, rel_tol=1e-5)
+    assert out["optval"] == pytest.approx(dense_out["optval"], rel=1e-3)
