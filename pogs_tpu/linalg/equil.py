@@ -117,10 +117,12 @@ def equilibrate(
     if is_op:
         A_eq = A.scale(d, e)
         norm_a = jnp.sqrt(A_eq.frob2()) / jnp.sqrt(jnp.asarray(min(m, n), dt))
+        norm_a = jnp.where(norm_a > 0, norm_a, jnp.ones_like(norm_a))  # A = 0
         A_eq = A_eq.scalar_mul(1.0 / norm_a)
     else:
         A_eq = A * d[:, None] * e[None, :]
         norm_a = jnp.linalg.norm(A_eq) / jnp.sqrt(jnp.asarray(min(m, n), dt))
+        norm_a = jnp.where(norm_a > 0, norm_a, jnp.ones_like(norm_a))  # A = 0
         A_eq = A_eq / norm_a
     scale = jnp.sqrt(norm_a)
     return EquilResult(A=A_eq, d=d / scale, e=e / scale)

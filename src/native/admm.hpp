@@ -102,7 +102,8 @@ inline void equilibrate(
   double fro2 = 0.0;
   for (std::size_t i = 0; i < m; ++i) fro2 += d[i] * d[i] * col[i];
   (void)frob2;
-  const double norm_a = std::sqrt(fro2 / double(std::min(m, n)));
+  double norm_a = std::sqrt(fro2 / double(std::min(m, n)));
+  if (norm_a <= 0.0) norm_a = 1.0;  // A = 0: skip normalization
   A.rescale(d.data(), e.data(), 1.0 / norm_a);
   const double s = std::sqrt(norm_a);
   for (auto& v : d) v /= s;
