@@ -203,6 +203,9 @@ class GraphFormSolver:
     a warm start (exactly the reference's λ-path pattern).
     """
 
+    # Auto-densify budget for sparse inputs on TPU (bytes of the dense A).
+    _DENSIFY_BYTES = 1 << 30
+
     def __init__(
         self,
         A,
@@ -210,10 +213,27 @@ class GraphFormSolver:
         direct_method: str = "inverse",
         dtype=None,
         settings: Optional[SolverSettings] = None,
+        sparse_policy: str = "auto",
     ):
         if dtype is None:
             in_dtype = getattr(A, "dtype", None) or jnp.float32
             dtype = jnp.result_type(in_dtype, jnp.float32)
+        if sparse_policy not in ("auto", "keep", "densify"):
+            raise ValueError(f"unknown sparse_policy {sparse_policy!r}")
+        # TPUs have no useful gather hardware: below ~99.5% sparsity a dense
+        # MXU matvec beats every sparse path by 20x+ (measured — see
+        # docs/developer/performance.md).  'auto' densifies TPU-resident
+        # sparse inputs that fit the budget; 'keep' preserves BCOO (for
+        # matrices that only fit HBM in sparse form).
+        is_sparse_input = hasattr(A, "tocoo") or (
+            hasattr(A, "todense") and not isinstance(A, np.ndarray)
+        )
+        if is_sparse_input and sparse_policy != "keep":
+            m_, n_ = A.shape
+            size_ok = m_ * n_ * jnp.dtype(dtype).itemsize <= self._DENSIFY_BYTES
+            on_tpu = jax.default_backend() == "tpu"
+            if sparse_policy == "densify" or (size_ok and on_tpu):
+                A = A.toarray() if hasattr(A, "toarray") else np.asarray(A.todense())
         self.A = as_matrix_op(A, dtype)
         self.m, self.n = self.A.shape
         self.dtype = self.A.dtype
