@@ -212,7 +212,8 @@ def _kernel_body(
             jnp.isfinite(nrm_r)
             & jnp.isfinite(jnp.sum(zx_new) + jnp.sum(zy_new))
         )
-        done_now = converged_now | nan_now | (k >= max_iter - 1)
+        # Monotone (see solver/admm.py — matters under vmap/batching).
+        done_now = done | converged_now | nan_now | (k >= max_iter - 1)
 
         ztx_new = ztx + alpha * x12 + (one - alpha) * zprev_x - zx_new
         zty_new = zty + alpha * y12 + (one - alpha) * zprev_y - zy_new

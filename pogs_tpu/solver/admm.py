@@ -203,7 +203,11 @@ def admm_loop(
         nan_found = jnp.logical_not(
             jnp.logical_and(jnp.isfinite(nrm_r), jnp.isfinite(jnp.sum(z_new)))
         )
-        done = converged | nan_found | (st.k >= max_iter - 1)
+        # MONOTONE done: under vmap the loop runs until ALL lanes finish, and
+        # a frozen lane's recomputed convergence test can flicker false —
+        # without the st.done OR, a converged batch kept looping to max_iter
+        # (measured 90x slowdown on a 256-lane batch).
+        done = st.done | converged | nan_found | (st.k >= max_iter - 1)
 
         if settings.verbose > 1:
             stride = 10 if settings.verbose > 2 else 100
