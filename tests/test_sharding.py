@@ -139,3 +139,33 @@ def test_explicit_shard_map_matvec(mesh8):
                     in_specs=(P("rows", None), P("rows")), out_specs=P())
     out = jax.jit(rmv)(A_dev, y_dev)
     np.testing.assert_allclose(np.asarray(out), A.T @ b, rtol=2e-4)
+
+
+def test_row_sharded_cone_solve(mesh8):
+    """Cone LP/SOCP with row-sharded A (BASELINE config 5 structure):
+    HSDE with the SMW linear solve under GSPMD sharding."""
+    from pogs_tpu.types import Cone, ConeConstraint
+    from pogs_tpu.solver.cone import ConeSolver
+    from pogs_tpu.types import SolverSettings
+
+    rng = np.random.default_rng(9)
+    n = 15  # SOC ball over n+1 = 16 rows: divides the 8-way mesh evenly
+    x0 = rng.standard_normal(n).astype(np.float32)
+    c = rng.standard_normal(n).astype(np.float32)
+    r = 1.5
+    A_full = np.vstack([np.zeros((1, n)), -np.eye(n)]).astype(np.float32)
+    b = np.concatenate([[r], -x0]).astype(np.float32)
+    Ky = [ConeConstraint(Cone.SOC, range(n + 1))]
+    st = SolverSettings(abs_tol=1e-6, rel_tol=1e-6)
+
+    res_ref = ConeSolver(A_full, Ky=Ky, settings=st).solve(b, c)
+
+    A_sh = shard_matrix(jnp.asarray(A_full), mesh8)
+    res_sh = ConeSolver(A_sh, Ky=Ky, settings=st).solve(b, c)
+
+    expect = float(c @ x0 - r * np.linalg.norm(c))
+    assert res_ref.status == Status.SUCCESS
+    assert res_sh.status == Status.SUCCESS
+    assert float(res_sh.optval) == pytest.approx(expect, rel=1e-3, abs=1e-3)
+    assert float(res_sh.optval) == pytest.approx(float(res_ref.optval),
+                                                 rel=1e-4, abs=1e-4)
