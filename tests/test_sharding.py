@@ -169,3 +169,30 @@ def test_row_sharded_cone_solve(mesh8):
     assert float(res_sh.optval) == pytest.approx(expect, rel=1e-3, abs=1e-3)
     assert float(res_sh.optval) == pytest.approx(float(res_ref.optval),
                                                  rel=1e-4, abs=1e-4)
+
+
+def test_batched_cone_solve_matches_single():
+    """Scenario batch of SOC projections problems: vmapped HSDE == per-
+    problem solves."""
+    from pogs_tpu.parallel.batch import batched_cone_solve
+    from pogs_tpu.api.cone import solve_cone
+    from pogs_tpu.types import Cone, ConeConstraint
+
+    rng = np.random.default_rng(12)
+    n, K = 7, 5
+    c = rng.standard_normal(n).astype(np.float32)
+    A = np.vstack([np.zeros((1, n)), -np.eye(n)]).astype(np.float32)
+    Ky = [ConeConstraint(Cone.SOC, range(n + 1))]
+    r = 1.2
+    x0s = rng.standard_normal((K, n)).astype(np.float32)
+    b_batch = np.concatenate(
+        [np.full((K, 1), r, np.float32), -x0s], axis=1
+    )
+
+    st = SolverSettings(abs_tol=1e-6, rel_tol=1e-6)
+    out = batched_cone_solve(A, b_batch, c, Ky, settings=st)
+    assert bool(jnp.all(out["status"] == 0))
+    for k in range(K):
+        expect = float(c @ x0s[k] - r * np.linalg.norm(c))
+        assert float(out["optval"][k]) == pytest.approx(expect, rel=1e-3,
+                                                        abs=1e-3)
