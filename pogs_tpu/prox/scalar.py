@@ -136,8 +136,11 @@ def prox_neg_log(v, rho):
 
 
 def prox_recipr(v, rho):
-    """prox of 1/x (on x > 0): positive root of x^3 - v x^2 - 1/rho = 0."""
-    v = jnp.maximum(v, 0)
+    """prox of 1/x (on x > 0): positive root of x^3 - v x^2 - 1/rho = 0.
+
+    The root exists and is the unique stationary point for ANY v (also
+    v < 0) — clamping v at 0 first would return a point strictly above
+    the true minimizer."""
     return cubic_solve(-v, jnp.zeros_like(v), -1.0 / rho)
 
 

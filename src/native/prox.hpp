@@ -146,7 +146,8 @@ inline double prox_base(std::int32_t h, double v, double rho) {
     case kNegLog:
       return 0.5 * (v + std::sqrt(v * v + 4.0 / rho));
     case kRecipr:
-      return cubic_pos_root(std::max(v, 0.0), 1.0 / rho);
+      // Positive root exists for any v (incl. v < 0); no clamping.
+      return cubic_pos_root(v, 1.0 / rho);
     case kSquare:
       return rho * v / (1.0 + rho);
     case kZero:

@@ -181,3 +181,74 @@ def test_float32_float64_consistency():
         # f32 carries ~1e-7 relative error through a handful of transcendental
         # ops; 1e-4 absolute at O(1) magnitudes is the expected precision.
         np.testing.assert_allclose(x32, x64, atol=5e-4)
+
+
+def test_prox_argmin_property_all_functions(rng):
+    """Universal argmin check: for every h and random (a,b,c,d,e,rho,v),
+    obj(prox(v)) <= obj(prox(v) + delta) for random perturbations delta.
+    Catches any closed-form or transform error without per-function
+    oracles (complements the hand-computed cases above)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pogs_tpu.types import Function, FunctionVector
+    from pogs_tpu.prox.vector import prox_eval, func_eval
+
+    N = 64
+    for h in Function:
+        a = rng.uniform(0.5, 2.0, N)
+        b = rng.uniform(-1.0, 1.0, N)
+        c = rng.uniform(0.2, 2.0, N)
+        d = rng.uniform(-0.5, 0.5, N)
+        e = rng.uniform(0.0, 1.0, N)
+        v = rng.uniform(-3.0, 3.0, N)
+        rho = float(rng.uniform(0.3, 3.0))
+        fv = FunctionVector(h, N, a=a, b=b, c=c, d=d, e=e, dtype=jnp.float64)
+        x = np.asarray(prox_eval(fv, jnp.asarray(v), rho))
+        assert np.all(np.isfinite(x)), f"{h.name}: non-finite prox"
+
+        def total_obj(z):
+            # elementwise objective + quadratic penalty (no sum: keep
+            # per-coordinate comparisons to localize failures)
+            zj = jnp.asarray(z)
+            fo = fv.replace_params()  # same params
+            av = fv.a * zj - fv.b
+            from pogs_tpu.prox.scalar import FUNC
+            hval = FUNC[h](av)
+            return np.asarray(
+                fv.c * hval + fv.d * zj + 0.5 * fv.e * zj * zj
+                + 0.5 * rho * (zj - v) ** 2
+            )
+
+        base = total_obj(x)
+        assert np.all(np.isfinite(base)), f"{h.name}: non-finite objective"
+        for scale in (1e-3, 1e-2, 0.1):
+            for _ in range(3):
+                delta = rng.standard_normal(N) * scale
+                cand = x + delta
+                if h in (Function.NEGLOG, Function.RECIPR, Function.NEGENTR):
+                    # domain is a*z - b > 0, i.e. z > b/a (a > 0 here)
+                    zmin = (np.asarray(fv.b) + 1e-6) / np.asarray(fv.a)
+                    cand = np.maximum(cand, zmin)
+                if h == Function.INDBOX01:
+                    cand = np.clip((cand - np.asarray(fv.b)) /
+                                   np.asarray(fv.a), 0, 1)
+                    cand = np.asarray(fv.a) * 0 + cand  # already feasible z
+                    cand = (cand + np.asarray(fv.b)) / np.asarray(fv.a)
+                if h == Function.INDEQ0:
+                    cand = np.full(N, np.asarray(fv.b) / np.asarray(fv.a))
+                if h == Function.INDGE0:
+                    az = np.asarray(fv.a) * cand - np.asarray(fv.b)
+                    cand = np.where(az < 0,
+                                    np.asarray(fv.b) / np.asarray(fv.a), cand)
+                if h == Function.INDLE0:
+                    az = np.asarray(fv.a) * cand - np.asarray(fv.b)
+                    cand = np.where(az > 0,
+                                    np.asarray(fv.b) / np.asarray(fv.a), cand)
+                other = total_obj(cand)
+                # prox must be no worse than any feasible perturbation
+                # (tolerance for f64 roundoff in the comparison itself)
+                viol = base - other
+                assert np.max(viol) <= 1e-6 * (1.0 + np.abs(base).max()), (
+                    f"{h.name}: prox not a minimizer "
+                    f"(violation {np.max(viol):.2e})"
+                )
