@@ -63,8 +63,10 @@ def fused_admm_eligible(m: int, n: int, dtype, settings: SolverSettings) -> bool
     mp, np_ = pad_to(m), pad_to(n)
     k = min(mp, np_)
     itemsize = jnp.dtype(dtype).itemsize
-    # A + A^T + Ginv + ~24 state/param vectors.
-    need = (2 * mp * np_ + k * k + 24 * (mp + np_)) * itemsize
+    # A + A^T + Ginv + ~24 state/param vectors; the x4 is the measured
+    # Mosaic scoped-VMEM overhead (double buffering + while-carry copies:
+    # a 1024x512 problem with a 2.6 MB footprint model allocated 21 MB).
+    need = 4 * (2 * mp * np_ + k * k + 24 * (mp + np_)) * itemsize
     return need <= _VMEM_BUDGET
 
 

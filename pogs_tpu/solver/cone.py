@@ -302,14 +302,37 @@ class ConeSolver:
                     s_den = 1.0 + jnp.vdot(c_s, t_x) + jnp.vdot(b_s, t_y)
                     smw_factor = {"apply": apply_kinv, "t_x": t_x, "t_y": t_y,
                                   "s_den": s_den}
-                out = hsde_solve(
-                    A, b_s, c_s, Ky, P=P_s, strategy=strategy,
-                    abs_tol=settings.abs_tol, rel_tol=settings.rel_tol,
-                    max_iter=settings.max_iter, smw_factor=smw_factor,
-                    use_anderson=settings.use_anderson,
-                    anderson_mem=settings.anderson_mem,
-                    anderson_start=settings.anderson_start,
+                from pogs_tpu.ops.fused_hsde import (
+                    fused_hsde_eligible, fused_hsde_solve,
                 )
+
+                use_fused = (
+                    smw_factor is not None
+                    and settings.use_fused is not False
+                    and fused_hsde_eligible(
+                        m, n, dt, Ky, has_P, settings.use_anderson
+                    )
+                    and (settings.use_fused
+                         or (jax.default_backend() == "tpu"
+                             and dt == jnp.float32))
+                )
+                if use_fused:
+                    out = fused_hsde_solve(
+                        A, b_s, c_s, Ky, init_state["factor"]["op"],
+                        smw_factor["t_x"], smw_factor["t_y"],
+                        smw_factor["s_den"],
+                        settings.abs_tol, settings.rel_tol,
+                        settings.max_iter,
+                    )
+                else:
+                    out = hsde_solve(
+                        A, b_s, c_s, Ky, P=P_s, strategy=strategy,
+                        abs_tol=settings.abs_tol, rel_tol=settings.rel_tol,
+                        max_iter=settings.max_iter, smw_factor=smw_factor,
+                        use_anderson=settings.use_anderson,
+                        anderson_mem=settings.anderson_mem,
+                        anderson_start=settings.anderson_start,
+                    )
                 w = out["w"]
                 tau = w[n + m]
                 tau_ok = tau > 1e-8

@@ -54,6 +54,7 @@ K_ALPHA_MIN = 1.0
 K_ALPHA_MAX = 1.7
 K_ALPHA_GROW = 1.02
 K_TAU_TOL = 1e-8
+K_TAU_REL = 1e-6  # tau/||w|| below this marks a certificate ray
 K_KAPPA_TOL = 1e-6
 K_CHECK_EVERY = 10
 
@@ -385,8 +386,15 @@ def hsde_solve(
             return (st.alpha, st.prev_resid, infeas | unbdd, status,
                     st.r_pri, st.r_dua, st.gap)
 
+        # Branch on tau RELATIVE to the iterate: on the solution ray tau
+        # converges to a positive value; on a certificate ray the iterate
+        # normalizes with tau -> 0.  A pure absolute threshold misses
+        # certificates whose tau hovers just above it (tau = 2e-8 with
+        # kappa = 0.44 observed on an unbounded LP).
+        w_norm = jnp.linalg.norm(w)
         alpha, prev_resid, done_new, status, r_pri, r_dua, gap = lax.cond(
-            tau > K_TAU_TOL, tau_pos, tau_zero, None
+            tau > jnp.maximum(K_TAU_TOL, K_TAU_REL * w_norm), tau_pos, tau_zero,
+            None,
         )
         return st._replace(
             alpha=alpha, prev_resid=prev_resid,

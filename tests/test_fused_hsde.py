@@ -1,0 +1,139 @@
+"""Fused HSDE Pallas kernel vs the XLA DR loop — trajectory parity.
+
+Same algorithm, same constants: identical final iterates (w), statuses,
+and certificates.  Interpreter mode on the CPU backend.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from pogs_tpu.types import Cone, ConeConstraint, SolverSettings, Status
+from pogs_tpu.cones.sets import ConeSet
+from pogs_tpu.solver.hsde import hsde_solve, smw_setup
+from pogs_tpu.ops.fused_hsde import (
+    fused_hsde_solve, fused_hsde_eligible, _segments,
+)
+
+
+def _both(A, b, c, Ky, tol=1e-6, max_iter=2000):
+    A = jnp.asarray(A, jnp.float32)
+    b = jnp.asarray(b, jnp.float32)
+    c = jnp.asarray(c, jnp.float32)
+    ref = hsde_solve(A, b, c, Ky, strategy="smw", abs_tol=tol, rel_tol=tol,
+                     max_iter=max_iter)
+    fac = smw_setup(A, b, c)
+    m, n = A.shape
+    if m >= n:
+        Kinv = fac["Kinv"]  # (I + AᵀA)⁻¹, n×n
+    else:
+        # The kernel's wide path expects the m×m (I + AAᵀ)⁻¹ (the factor
+        # the projector caches) and applies Woodbury internally.
+        Kinv = jnp.linalg.inv(jnp.eye(m, dtype=A.dtype) + A @ A.T)
+    fus = fused_hsde_solve(A, b, c, Ky, Kinv, fac["t_x"], fac["t_y"],
+                           fac["s_den"], tol, tol, max_iter, interpret=True)
+    return ref, fus
+
+
+def _assert_match(ref, fus):
+    assert int(ref["status"]) == int(fus["status"])
+    assert int(ref["final_iter"]) == int(fus["final_iter"])
+    np.testing.assert_allclose(np.asarray(ref["w"]), np.asarray(fus["w"]),
+                               atol=1e-6)
+
+
+def test_fused_hsde_lp():
+    A = np.array([[1.0, 1.0], [-1.0, 0.0], [0.0, -1.0]])
+    b = np.array([1.0, 0.0, 0.0])
+    c = np.array([1.0, 2.0])
+    Ky = ConeSet([ConeConstraint(Cone.ZERO, [0]),
+                  ConeConstraint(Cone.NON_NEG, [1, 2])], 3)
+    ref, fus = _both(A, b, c, Ky)
+    _assert_match(ref, fus)
+    assert int(fus["status"]) == int(Status.SUCCESS)
+
+
+def test_fused_hsde_socp_wide():
+    rng = np.random.default_rng(5)
+    n = 9
+    x0 = rng.standard_normal(n)
+    c = rng.standard_normal(n)
+    A = np.vstack([np.zeros((1, n)), -np.eye(n)])  # wide? m = n+1 > n: tall
+    b = np.concatenate([[1.5], -x0])
+    Ky = ConeSet([ConeConstraint(Cone.SOC, range(n + 1))], n + 1)
+    ref, fus = _both(A, b, c, Ky, max_iter=5000)
+    _assert_match(ref, fus)
+    assert int(fus["status"]) == int(Status.SUCCESS)
+    # wide case (m < n): equality rows with c in the row space of A, so
+    # the objective is constant on the feasible set — bounded and solvable.
+    A2 = rng.standard_normal((3, 8)).astype(np.float64)
+    xf = rng.standard_normal(8)
+    b2 = A2 @ xf
+    c2 = A2.T @ rng.standard_normal(3)
+    Ky2 = ConeSet([ConeConstraint(Cone.ZERO, range(3))], 3)
+    ref2, fus2 = _both(A2, b2, c2, Ky2, max_iter=5000)
+    # Wide path applies the Woodbury identity instead of the explicit n×n
+    # inverse — mathematically identical, different f32 roundoff, so assert
+    # solution-level (not trajectory-level) agreement.
+    assert int(ref2["status"]) == int(Status.SUCCESS)
+    assert int(fus2["status"]) == int(Status.SUCCESS)
+    wr, wf = np.asarray(ref2["w"]), np.asarray(fus2["w"])
+    x_r = wr[:8] / wr[-1]
+    x_f = wf[:8] / wf[-1]
+    np.testing.assert_allclose(A2 @ x_f, b2, atol=1e-3)
+    assert float(c2 @ x_f) == pytest.approx(float(c2 @ x_r), rel=1e-3,
+                                            abs=1e-3)
+
+
+def test_fused_hsde_infeasible_certificate():
+    # x >= 1 and x <= 0: infeasible.
+    A = np.array([[-1.0], [1.0]])
+    b = np.array([-1.0, 0.0])
+    c = np.array([1.0])
+    Ky = ConeSet([ConeConstraint(Cone.NON_NEG, [0, 1])], 2)
+    ref, fus = _both(A, b, c, Ky, max_iter=5000)
+    assert int(ref["status"]) == int(Status.INFEASIBLE)
+    assert int(fus["status"]) == int(Status.INFEASIBLE)
+
+
+def test_fused_hsde_unbounded_certificate():
+    # min -x s.t. x >= 0: unbounded below.
+    A = np.array([[-1.0]])
+    b = np.array([0.0])
+    c = np.array([-1.0])
+    Ky = ConeSet([ConeConstraint(Cone.NON_NEG, [0])], 1)
+    ref, fus = _both(A, b, c, Ky, max_iter=5000)
+    assert int(ref["status"]) == int(Status.UNBOUNDED)
+    assert int(fus["status"]) == int(Status.UNBOUNDED)
+
+
+def test_fused_hsde_eligibility():
+    Ky = ConeSet([ConeConstraint(Cone.SOC, range(8))], 8)
+    assert fused_hsde_eligible(8, 4, jnp.float32, Ky, False, False)
+    assert not fused_hsde_eligible(8, 4, jnp.float32, Ky, True, False)  # P
+    assert not fused_hsde_eligible(8, 4, jnp.float32, Ky, False, True)  # AA
+    # non-contiguous SOC -> ineligible
+    Ky_nc = ConeSet([ConeConstraint(Cone.SOC, [0, 2, 4])], 5)
+    assert _segments(Ky_nc) is None
+    assert not fused_hsde_eligible(5, 3, jnp.float32, Ky_nc, False, False)
+    # exp cones -> XLA loop
+    Ky_exp = ConeSet([ConeConstraint(Cone.EXP_PRIMAL, [0, 1, 2])], 3)
+    assert not fused_hsde_eligible(3, 2, jnp.float32, Ky_exp, False, False)
+
+
+def test_fused_hsde_through_cone_solver():
+    """use_fused=True forces the fused HSDE through ConeSolver."""
+    from pogs_tpu.solver.cone import ConeSolver
+
+    A = np.array([[1.0, 1.0], [-1.0, 0.0], [0.0, -1.0]])
+    b = np.array([1.0, 0.0, 0.0])
+    c = np.array([1.0, 2.0])
+    Ky = [ConeConstraint(Cone.ZERO, [0]), ConeConstraint(Cone.NON_NEG, [1, 2])]
+    st = SolverSettings(abs_tol=1e-6, rel_tol=1e-6, use_fused=True)
+    res = ConeSolver(A, Ky=Ky, settings=st, dtype=jnp.float32).solve(b, c)
+    ref = ConeSolver(A, Ky=Ky, settings=st.replace(use_fused=False),
+                     dtype=jnp.float32).solve(b, c)
+    assert res.status == Status.SUCCESS
+    assert float(res.optval) == pytest.approx(float(ref.optval), rel=1e-4,
+                                              abs=1e-5)
+    assert int(res.final_iter) == int(ref.final_iter)
