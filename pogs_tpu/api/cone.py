@@ -25,6 +25,9 @@ import numpy as np
 from pogs_tpu.types import Cone, ConeConstraint, SolverSettings, Status
 from pogs_tpu.solver.cone import ConeSolver
 
+# solve_cone_problem solver reuse (matrix-fingerprint keyed).
+_CONE_PROBLEM_SOLVERS: dict = {}
+
 
 def dims_to_cones(dims: dict) -> list:
     """SCS-style dims dict → list of ConeConstraint on the y rows
@@ -121,16 +124,23 @@ def solve_cone(
         solver.rho = float(rho)
     t0 = time.perf_counter()
     res = solver.solve(b, c, P=P, settings=settings)
+    # One bundled d2h transfer: on remote/tunneled accelerators each
+    # separate fetch costs a full round trip (~50 ms).
+    import jax
+
+    x_np, y_np, nu_np, optval, final_iter = jax.device_get(
+        (res.x, res.y, res.nu, res.optval, res.final_iter)
+    )
     solve_time = time.perf_counter() - t0
 
     out = {
-        "x": np.asarray(res.x),
-        "y": np.asarray(res.y),
-        "l": np.asarray(res.nu),
-        "z": np.asarray(res.nu),
-        "optval": float(res.optval),
-        "iterations": int(res.final_iter),
-        "num_iters": int(res.final_iter),
+        "x": np.asarray(x_np),
+        "y": np.asarray(y_np),
+        "l": np.asarray(nu_np),
+        "z": np.asarray(nu_np),
+        "optval": float(optval),
+        "iterations": int(final_iter),
+        "num_iters": int(final_iter),
         "status": int(res.status),
         "status_name": Status(int(res.status)).name,
         "solve_time": solve_time,
@@ -174,7 +184,33 @@ def solve_cone_problem(
     cones_y = dims_to_cones(dims)
     if rho is None:
         rho = auto_rho(A, b, c, dims, P=P, mode=rho_mode, scale=rho_scale)
+    # Reuse the ConeSolver (equilibration + factorization + compiled solve)
+    # across calls with the same matrix and cone structure — the warm-call
+    # pattern of CVXPY resolves and parameter sweeps.
+    solver = kw.pop("solver", None)
+    if solver is None:
+        import hashlib
+
+        arr = A if isinstance(A, np.ndarray) else A.data
+        h = hashlib.sha256()
+        h.update(str(A.shape).encode())
+        h.update(np.ascontiguousarray(arr).tobytes())
+        key = (h.hexdigest(), tuple((int(cc.cone), cc.indices)
+                                    for cc in cones_y),
+               str(dtype), kw.get("assume_svec", False),
+               kw.get("strategy"))
+        cached = _CONE_PROBLEM_SOLVERS.get(key)
+        if cached is None:
+            if len(_CONE_PROBLEM_SOLVERS) > 8:
+                _CONE_PROBLEM_SOLVERS.clear()
+            settings = SolverSettings(abs_tol=abs_tol, rel_tol=rel_tol,
+                                      max_iter=max_iter, verbose=verbose)
+            cached = ConeSolver(A, Ky=cones_y, settings=settings,
+                                strategy=kw.get("strategy"), dtype=dtype,
+                                assume_svec=kw.get("assume_svec", False))
+            _CONE_PROBLEM_SOLVERS[key] = cached
+        solver = cached
     return solve_cone(
         A, b, c, Ky=cones_y, P=P, rho=rho, abs_tol=abs_tol, rel_tol=rel_tol,
-        max_iter=max_iter, verbose=verbose, dtype=dtype, **kw,
+        max_iter=max_iter, verbose=verbose, dtype=dtype, solver=solver, **kw,
     )

@@ -377,20 +377,29 @@ def make_solver_class():
                 assume_svec=True,
             )
 
-            # Mimic the SCS result dict that SCS.invert() expects.
-            status_map = {
+            # Mimic the SCS result dict that SCS.invert() expects.  cvxpy's
+            # scs_conif.STATUS_MAP keys on SCS 3.x status_val integers:
+            # 1 solved, 2 solved-inaccurate, -1 infeasible, -2 unbounded,
+            # -4 failed.
+            status_str = {
                 int(Status.SUCCESS): "solved",
                 int(Status.MAX_ITER): "solved (inaccurate - reached max_iters)",
                 int(Status.INFEASIBLE): "infeasible",
                 int(Status.UNBOUNDED): "unbounded",
+            }
+            status_val = {
+                int(Status.SUCCESS): 1,
+                int(Status.MAX_ITER): 2,
+                int(Status.INFEASIBLE): -1,
+                int(Status.UNBOUNDED): -2,
             }
             return {
                 "x": out["x"],
                 "y": out["l"],
                 "s": out["s"],
                 "info": {
-                    "status": status_map.get(out["status"], "failure"),
-                    "status_val": 1 if out["status"] == int(Status.SUCCESS) else 2,
+                    "status": status_str.get(out["status"], "failure"),
+                    "status_val": status_val.get(out["status"], -4),
                     "iter": out["num_iters"],
                     "pobj": out["optval"],
                     "dobj": out["optval"],

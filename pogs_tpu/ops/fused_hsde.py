@@ -137,6 +137,18 @@ def _kernel_body(
     fp_tol = abs_tol * jnp.sqrt(jnp.asarray(dim, dt)) + rel_tol
     cert_tol = abs_tol + rel_tol
 
+    def _apply_segs(out, seg_list):
+        # Mosaic rejects zero-width slices — skip empty flanks.
+        for _, s, L in seg_list:
+            parts = []
+            if s > 0:
+                parts.append(out[:, :s])
+            parts.append(_soc_project(out[:, s:s + L]))
+            if s + L < out.shape[1]:
+                parts.append(out[:, s + L:])
+            out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+        return out
+
     def proj_primal(v):
         out = v
         if has_zero:
@@ -145,12 +157,7 @@ def _kernel_body(
             out = jnp.where(nonneg_m, jnp.maximum(out, 0.0), out)
         if has_nonpos:
             out = jnp.where(nonpos_m, jnp.minimum(out, 0.0), out)
-        for _, s, L in segs:
-            out = jnp.concatenate(
-                [out[:, :s], _soc_project(out[:, s:s + L]), out[:, s + L:]],
-                axis=1,
-            )
-        return out
+        return _apply_segs(out, segs)
 
     def proj_dual(v):
         # Dual cone: Zero -> free (identity), NonNeg/NonPos self-dual,
@@ -160,12 +167,7 @@ def _kernel_body(
             out = jnp.where(d_nonneg_m, jnp.maximum(out, 0.0), out)
         if dual_has_nonpos:
             out = jnp.where(d_nonpos_m, jnp.minimum(out, 0.0), out)
-        for _, s, L in dual_segs:
-            out = jnp.concatenate(
-                [out[:, :s], _soc_project(out[:, s:s + L]), out[:, s + L:]],
-                axis=1,
-            )
-        return out
+        return _apply_segs(out, dual_segs)
 
     if tall:
         def kinv_apply(v):  # (1, Np): Kinv = (I + AᵀA)⁻¹

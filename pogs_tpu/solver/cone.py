@@ -24,7 +24,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from pogs_tpu.types import Cone, ConeConstraint, SolverResult, SolverSettings, Status
+from pogs_tpu.types import (
+    Cone, ConeConstraint, DEFAULT_RHO, SolverResult, SolverSettings, Status,
+)
 from pogs_tpu.cones.sets import ConeSet
 from pogs_tpu.linalg.equil import equilibrate
 from pogs_tpu.linalg.matrix import as_matrix_op
@@ -142,6 +144,13 @@ class ConeSolver:
               _no_sync: bool = False):
         settings = (settings.replace(use_exact_tol=True)
                     if settings is not None else self.settings)
+        # rho is a *traced* argument (self.rho), never compile-time state;
+        # normalize it out of the settings so data-dependent auto-rho values
+        # don't fragment the compile cache (a cache miss costs a ~1 s
+        # recompile per solve).
+        if settings.rho != DEFAULT_RHO:
+            self.rho = float(settings.rho)
+            settings = settings.replace(rho=DEFAULT_RHO)
         if P is not None:
             P = np.asarray(P)
             if P.shape != (self.n, self.n):
@@ -340,11 +349,13 @@ class ConeSolver:
                 x_s = w[:n] / tau_safe
                 y_s = w[n:n + m] / tau_safe
                 s_scaled = b_s - A.mv(x_s)
-                # Unscale (pogs.cpp:1841-1865); zeros if tau ~ 0.
-                x = jnp.where(tau_ok, x_s * e, jnp.zeros(n, dt))
+                # Unscale (pogs.cpp:1841-1865).  When tau ~ 0, return the
+                # (unscaled) certificate ray instead: consumers (e.g. the
+                # CVXPY plugin) normalize by b'y or c'x themselves.
+                x = jnp.where(tau_ok, x_s * e, w[:n] * e)
                 s_orig = s_scaled / d
                 y = jnp.where(tau_ok, b_orig - s_orig, jnp.zeros(m, dt))
-                nu = jnp.where(tau_ok, y_s * d, jnp.zeros(m, dt))
+                nu = jnp.where(tau_ok, y_s * d, w[n:n + m] * d)
                 optval = jnp.vdot(c_orig, x)
                 if has_P:
                     optval = optval + 0.5 * jnp.vdot(x, jnp.matmul(P_o, x))

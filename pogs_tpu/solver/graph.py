@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from pogs_tpu.types import (
+    DEFAULT_RHO,
     FunctionVector,
     SolverResult,
     SolverSettings,
@@ -294,6 +295,12 @@ class GraphFormSolver:
         if g.n != self.n:
             raise ValueError(f"g has length {g.n}, expected n={self.n}")
         settings = settings or self.settings
+        # rho is a traced argument; keep data-dependent values out of the
+        # compile cache key (see ConeSolver.solve).
+        if settings.rho != DEFAULT_RHO:
+            if rho is None:
+                rho = float(settings.rho)
+            settings = settings.replace(rho=DEFAULT_RHO)
         self.init()
 
         has_warm = self._z is not None
