@@ -1,0 +1,43 @@
+"""Scenario-batched cone solves: one matrix, many right-hand sides.
+
+The production pattern batched_cone_solve targets: solve the same
+constrained problem for a batch of scenarios (here: minimum-cost points
+inside a trust region around K different operating points) in ONE device
+program — equilibrate + factor once, vmapped HSDE, one batched matmul per
+iteration.
+"""
+
+import numpy as np
+
+from common import banner
+
+
+def main(n=12, K=16):
+    from pogs_tpu.parallel.batch import batched_cone_solve
+    from pogs_tpu.types import Cone, ConeConstraint, SolverSettings
+
+    banner(f"Scenario-batched SOCP: {K} scenarios, n={n}")
+    rng = np.random.default_rng(7)
+    c = rng.standard_normal(n).astype(np.float32)
+    r = 1.0
+    # b - Ax = (r, x - x0_k) in SOC: min c'x s.t. ||x - x0_k|| <= r.
+    A = np.vstack([np.zeros((1, n)), -np.eye(n)]).astype(np.float32)
+    Ky = [ConeConstraint(Cone.SOC, range(n + 1))]
+    x0s = rng.standard_normal((K, n)).astype(np.float32)
+    b_batch = np.concatenate([np.full((K, 1), r, np.float32), -x0s], axis=1)
+
+    st = SolverSettings(abs_tol=1e-6, rel_tol=1e-6)
+    out = batched_cone_solve(A, b_batch, c, Ky, settings=st)
+    ok = np.asarray(out["status"]) == 0
+    print(f"  all {K} scenarios converged: {bool(ok.all())}")
+    for k in range(0, K, max(1, K // 4)):
+        expect = float(c @ x0s[k] - r * np.linalg.norm(c))
+        got = float(out["optval"][k])
+        print(f"  scenario {k:2d}: optval={got:9.4f}  closed-form={expect:9.4f}"
+              f"  iters={int(out['iterations'][k])}")
+        assert abs(got - expect) < 1e-3 * (1 + abs(expect))
+    assert bool(ok.all())
+
+
+if __name__ == "__main__":
+    main()

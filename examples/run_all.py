@@ -5,7 +5,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 MODULES = ["lasso", "lasso_path", "logistic", "lp", "nonneg_ls", "svm",
            "quantile_regression", "huber_fit", "sdp", "portfolio",
-           "lasso_path_batched", "native_runtime"]
+           "lasso_path_batched", "native_runtime", "mpc_scenarios"]
 
 for name in MODULES:
     mod = importlib.import_module(name)
