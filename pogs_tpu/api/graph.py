@@ -20,10 +20,12 @@ from pogs_tpu.types import Function, FunctionVector, SolverSettings
 from pogs_tpu.solver.graph import GraphFormSolver
 
 
-def _settings(abs_tol, rel_tol, max_iter, verbose, rho, adaptive_rho, gap_stop):
+def _settings(abs_tol, rel_tol, max_iter, verbose, rho, adaptive_rho,
+              gap_stop, use_fused=None):
     return SolverSettings(
         abs_tol=abs_tol, rel_tol=rel_tol, rho=rho, max_iter=max_iter,
         verbose=verbose, adaptive_rho=adaptive_rho, gap_stop=gap_stop,
+        use_fused=use_fused,
     )
 
 
@@ -38,12 +40,14 @@ def solve_graph_form(
     rho: float = 1.0,
     adaptive_rho: bool = True,
     gap_stop: bool = True,
+    use_fused: Optional[bool] = None,
     solver: Optional[GraphFormSolver] = None,
     dtype=None,
     **solver_kw,
 ):
     """Solve min f(y) + g(x) s.t. y = Ax. Returns the reference result dict."""
-    st = _settings(abs_tol, rel_tol, max_iter, verbose, rho, adaptive_rho, gap_stop)
+    st = _settings(abs_tol, rel_tol, max_iter, verbose, rho, adaptive_rho,
+                   gap_stop, use_fused)
     if solver is None:
         solver = GraphFormSolver(A, dtype=dtype, settings=st, **solver_kw)
     res = solver.solve(f, g, settings=st)
