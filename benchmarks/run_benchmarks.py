@@ -27,7 +27,7 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from pogs_tpu import (  # noqa: E402
-    Function, FunctionVector, GraphFormSolver, SolverSettings, Status,
+    Function, FunctionVector, GraphFormSolver, SolverSettings,
     solve_cone_problem,
 )
 from benchmarks import problems  # noqa: E402

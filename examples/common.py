@@ -1,5 +1,4 @@
 """Shared helpers for the examples."""
-import numpy as np
 
 
 def banner(title):

@@ -7,7 +7,7 @@
 import time
 import numpy as np
 import jax.numpy as jnp
-from pogs_tpu import GraphFormSolver, FunctionVector, Function, SolverSettings
+from pogs_tpu import GraphFormSolver, FunctionVector, Function
 from pogs_tpu.parallel.batch import solve_lasso_path
 from common import banner
 

@@ -9,9 +9,6 @@ so each iteration is a single batched MXU matmul for every λ at once.
 
 import numpy as np
 
-from common import banner
-
-
 def make_lasso_problem(m, n, seed=0):
     rng = np.random.default_rng(seed)
     A = rng.standard_normal((m, n))

@@ -7,9 +7,6 @@ lasso against the JAX solver.
 
 import numpy as np
 
-from common import banner
-
-
 def make_lasso_problem(m, n, seed=0):
     rng = np.random.default_rng(seed)
     A = rng.standard_normal((m, n))

@@ -1,7 +1,6 @@
 """SDP example (examples/cpp_cone/test_sdp.cpp): smallest eigenvalue via
   min tr(CX) s.t. tr(X) = 1, X PSD."""
 import sys, os
-import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "benchmarks"))
 from problems import sdp_min_eig
 from pogs_tpu import solve_cone_problem

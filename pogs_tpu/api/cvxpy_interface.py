@@ -20,13 +20,13 @@ Everything degrades gracefully when cvxpy is not installed.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
 import numpy as np
 
 from pogs_tpu.api.graph import (
-    solve_lasso, solve_ridge, solve_elastic_net, solve_logistic,
-    solve_huber, solve_svm, solve_nonneg_ls,
+    solve_lasso, solve_ridge, solve_elastic_net, solve_huber,
+    solve_nonneg_ls,
 )
 from pogs_tpu.api.cone import solve_cone_problem
 from pogs_tpu.types import Status
@@ -348,7 +348,6 @@ def make_solver_class():
     """Build the cvxpy ConicSolver subclass (deferred so importing this
     module never requires cvxpy)."""
     from cvxpy.reductions.solvers.conic_solvers.scs_conif import SCS
-    import cvxpy.settings as cvx_settings
 
     class POGS_TPU(SCS):
         """Conic plugin reusing SCS's data conditioning (same cone format)."""

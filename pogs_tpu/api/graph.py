@@ -14,7 +14,6 @@ from __future__ import annotations
 from typing import Optional
 
 import numpy as np
-import jax.numpy as jnp
 
 from pogs_tpu.types import Function, FunctionVector, SolverSettings
 from pogs_tpu.solver.graph import GraphFormSolver

@@ -19,7 +19,6 @@ directions from one index array.
 
 from __future__ import annotations
 
-from typing import Any
 
 import numpy as np
 import jax

@@ -22,7 +22,6 @@ from __future__ import annotations
 import ctypes as ct
 import os
 import subprocess
-import sys
 from pathlib import Path
 from typing import Optional
 

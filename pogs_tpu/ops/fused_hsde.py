@@ -22,7 +22,7 @@ every-10-iterations cadence (same decisions, VMEM-cheap extra matvecs).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 import jax

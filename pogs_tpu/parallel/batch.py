@@ -176,7 +176,6 @@ def batched_cone_solve(
     """
     from pogs_tpu.types import ConeConstraint
     from pogs_tpu.cones.sets import ConeSet
-    from pogs_tpu.linalg.norm import norm2_est as _n2
     from pogs_tpu.solver.hsde import hsde_solve
 
     settings = settings or SolverSettings()

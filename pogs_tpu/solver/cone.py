@@ -34,7 +34,7 @@ from pogs_tpu.linalg.norm import norm2_est
 from pogs_tpu.projector.direct import DirectProjector
 from pogs_tpu.projector.indirect import CglsProjector
 from pogs_tpu.solver.admm import admm_loop, postsolve_verify
-from pogs_tpu.solver.hsde import hsde_solve, smw_solve
+from pogs_tpu.solver.hsde import hsde_solve
 from pogs_tpu.utils.precision import highest_precision
 
 _PRECISION = jax.lax.Precision.HIGHEST

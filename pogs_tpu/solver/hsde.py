@@ -37,9 +37,8 @@ Linear-solver strategies for (I + Q) w = u (all factor ONCE — Q is fixed):
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax

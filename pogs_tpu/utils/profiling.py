@@ -19,8 +19,6 @@ import contextlib
 import time
 from typing import Callable, Dict, Optional
 
-import numpy as np
-
 
 @contextlib.contextmanager
 def trace(log_dir: str, create_perfetto_link: bool = False):

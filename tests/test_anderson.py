@@ -2,7 +2,6 @@
 
 import numpy as np
 import pytest
-import jax
 import jax.numpy as jnp
 
 from pogs_tpu.solver.anderson import anderson_init, anderson_step

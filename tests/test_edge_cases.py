@@ -7,7 +7,6 @@ shape degeneracies it never tests.
 
 import numpy as np
 import pytest
-import jax.numpy as jnp
 
 from pogs_tpu import (
     Function, FunctionVector, GraphFormSolver, SolverSettings, Status,

@@ -8,7 +8,6 @@ Runs in interpreter mode on the CPU backend.
 
 import numpy as np
 import pytest
-import jax
 import jax.numpy as jnp
 
 from pogs_tpu.types import Function, FunctionVector, SolverSettings

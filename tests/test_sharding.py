@@ -15,7 +15,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from pogs_tpu.types import Function, FunctionVector, SolverSettings, Status
 from pogs_tpu.parallel.mesh import make_mesh, shard_matrix, replicate, pad_rows_to
-from pogs_tpu.parallel.batch import solve_lasso_path, batched_graph_solve
+from pogs_tpu.parallel.batch import solve_lasso_path
 
 
 @pytest.fixture(scope="module")
@@ -175,7 +175,6 @@ def test_batched_cone_solve_matches_single():
     """Scenario batch of SOC projections problems: vmapped HSDE == per-
     problem solves."""
     from pogs_tpu.parallel.batch import batched_cone_solve
-    from pogs_tpu.api.cone import solve_cone
     from pogs_tpu.types import Cone, ConeConstraint
 
     rng = np.random.default_rng(12)

@@ -16,7 +16,7 @@ from pogs_tpu import (
 )
 from pogs_tpu.types import Cone, ConeConstraint
 from pogs_tpu.solver.cone import ConeSolver
-from pogs_tpu.linalg.matrix import as_matrix_op, SparseMatrix
+from pogs_tpu.linalg.matrix import as_matrix_op
 from pogs_tpu.linalg.equil import equilibrate
 
 

@@ -9,7 +9,7 @@ import jax.numpy as jnp
 
 from pogs_tpu import (
     Function, FunctionVector, GraphFormSolver, SolverSettings, Status,
-    PhaseTimer, save_state, load_state,
+    PhaseTimer,
 )
 
 
