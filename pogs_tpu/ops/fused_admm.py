@@ -195,17 +195,21 @@ def _kernel_body(
         dz_y = y12 - zy_new
         nrm_r_a = norm_A * _nrm(dz_x) + _nrm(dz_y)
 
-        # Exact residuals, computed every iteration (VMEM-cheap) and
-        # *selected* when within 10x of tolerance (pogs.cpp:310-336).
-        r_vec = _mm(x12, At) - y12
-        s_in = y12 + zty - zprev_y
-        s_vec = _mm(s_in, A) + (x12 + ztx - zprev_x)
-        nrm_r_e = _nrm(r_vec)
-        nrm_s_e = rho * _nrm(s_vec)
-
+        # Exact residuals only near tolerance (pogs.cpp:310-336) — behind
+        # an in-kernel lax.cond so the 2 extra matvecs are skipped on the
+        # (majority of) far-from-converged iterations.
         near = jnp.logical_and(nrm_r_a < 10 * eps_pri, nrm_s_a < 10 * eps_dua)
-        nrm_r = jnp.where(near, nrm_r_e, nrm_r_a)
-        nrm_s = jnp.where(near, nrm_s_e, nrm_s_a)
+
+        def exact_branch(_):
+            r_vec = _mm(x12, At) - y12
+            s_in = y12 + zty - zprev_y
+            s_vec = _mm(s_in, A) + (x12 + ztx - zprev_x)
+            return _nrm(r_vec), rho * _nrm(s_vec)
+
+        def approx_branch(_):
+            return nrm_r_a, nrm_s_a
+
+        nrm_r, nrm_s = lax.cond(near, exact_branch, approx_branch, None)
 
         converged_now = near & (nrm_r < eps_pri) & (nrm_s < eps_dua)
         if settings.gap_stop:
