@@ -298,8 +298,19 @@ def hsde_solve(
         cg_max = min(20000, 20 * dim)
 
         def lin_solve(u, fp_resid):
-            tol = jnp.clip(0.1 * fp_resid, 1e-10, 1e-2)
-            return cg_solve_normal(q_matvec, qt_matvec, inv_diag, u, u, tol, cg_max)
+            # CG stops on ||r|| <= tol * ||rhs||, but the *solution* error is
+            # ~cond(MᵀM) * tol — a proportional tolerance alone therefore has
+            # a fixed point where the DR residual stalls at cond * tol (seen
+            # on LPs: iterates at the optimum, convergence test never firing).
+            # One iterative-refinement pass squares the effective accuracy
+            # (err ~ cond * tol^2), which restores the contraction.
+            u_norm = jnp.maximum(jnp.linalg.norm(u), 1.0)
+            tol = jnp.clip(0.1 * fp_resid / u_norm, 1e-12, 1e-2)
+            w = cg_solve_normal(q_matvec, qt_matvec, inv_diag, u, u, tol, cg_max)
+            r = u - (w + q_matvec(w))
+            dw = cg_solve_normal(q_matvec, qt_matvec, inv_diag, r,
+                                 jnp.zeros_like(r), tol, cg_max)
+            return w + dw
     else:
         raise ValueError(f"unknown HSDE strategy {strategy!r}")
 

@@ -59,3 +59,38 @@ def test_random_problem_jax_vs_native(native, seed):
         f"seed {seed}: jax {out_jax['optval']:.6f} "
         f"vs native {out_nat['optval']:.6f}"
     )
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_lp_vs_scipy(seed):
+    """Random feasible bounded LPs vs scipy.optimize.linprog, alternating
+    HSDE strategies (smw / direct / cg)."""
+    from scipy.optimize import linprog
+    from pogs_tpu.api.cone import solve_cone
+    from pogs_tpu.types import Cone, ConeConstraint
+
+    rng = np.random.default_rng(100 + seed)
+    m_ineq = int(rng.integers(8, 25))
+    n = int(rng.integers(4, 12))
+    G = rng.standard_normal((m_ineq, n))
+    x_feas = rng.standard_normal(n)
+    h = G @ x_feas + np.abs(rng.standard_normal(m_ineq)) + 0.1
+    c = rng.standard_normal(n)
+    # Box bounds keep it bounded: -5 <= x <= 5 as extra NonNeg rows.
+    A = np.vstack([G, np.eye(n), -np.eye(n)])
+    b = np.concatenate([h, 5.0 * np.ones(n), 5.0 * np.ones(n)])
+
+    ref = linprog(c, A_ub=A, b_ub=b, bounds=(None, None), method="highs")
+    assert ref.status == 0
+
+    strategy = ("smw", "direct", "cg")[seed % 3]
+    out = solve_cone(
+        A, b, c, Ky=[ConeConstraint(Cone.NON_NEG, range(A.shape[0]))],
+        strategy=strategy, abs_tol=1e-7, rel_tol=1e-7, max_iter=50000,
+        dtype="float64",
+    )
+    assert out["status"] == int(Status.SUCCESS), (seed, strategy)
+    assert abs(out["optval"] - ref.fun) <= 2e-3 * (1 + abs(ref.fun)), (
+        f"seed {seed} ({strategy}): pogs {out['optval']:.6f} "
+        f"vs linprog {ref.fun:.6f}"
+    )
