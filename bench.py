@@ -86,7 +86,7 @@ def main():
     # Min over batches: each batch already averages REPS solves, and the
     # tunnel adds multi-ms interference spikes that only bias upward —
     # the min of several 50-solve averages is the honest device estimate.
-    batches = [batch(k + 1) for k in range(5)]
+    batches = [batch(k + 1) for k in range(8)]
     ms = float(np.min(batches))
     ms_median = float(np.median(batches))
 

@@ -94,3 +94,28 @@ def test_random_lp_vs_scipy(seed):
         f"seed {seed} ({strategy}): pogs {out['optval']:.6f} "
         f"vs linprog {ref.fun:.6f}"
     )
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_random_socp_ball_vs_closed_form(seed):
+    """Random trust-region SOCPs with closed-form optima, random strategy."""
+    from pogs_tpu.api.cone import solve_cone
+    from pogs_tpu.types import Cone, ConeConstraint
+
+    rng = np.random.default_rng(200 + seed)
+    n = int(rng.integers(3, 20))
+    x0 = rng.standard_normal(n)
+    c = rng.standard_normal(n)
+    r = float(rng.uniform(0.5, 3.0))
+    A = np.vstack([np.zeros((1, n)), -np.eye(n)])
+    b = np.concatenate([[r], -x0])
+    Ky = [ConeConstraint(Cone.SOC, range(n + 1))]
+    expect = float(c @ x0 - r * np.linalg.norm(c))
+
+    strategy = ("smw", "direct", "cg")[seed % 3]
+    out = solve_cone(A, b, c, Ky=Ky, strategy=strategy, abs_tol=1e-7,
+                     rel_tol=1e-7, max_iter=30000, dtype="float64")
+    assert out["status"] == int(Status.SUCCESS), (seed, strategy)
+    assert abs(out["optval"] - expect) <= 2e-3 * (1 + abs(expect)), (
+        f"seed {seed} ({strategy}): {out['optval']:.6f} vs {expect:.6f}"
+    )
