@@ -21,10 +21,14 @@ import numpy as np
 
 
 def _fingerprint(A) -> str:
-    arr = np.ascontiguousarray(np.asarray(A, dtype=np.float32))
     h = hashlib.sha256()
-    h.update(str(arr.shape).encode())
-    h.update(arr.tobytes())
+    h.update(str(A.shape).encode())
+    if hasattr(A, "M"):  # SparseMatrix operator: hash the BCOO buffers
+        h.update(np.asarray(A.M.data, np.float32).tobytes())
+        h.update(np.asarray(A.M.indices, np.int32).tobytes())
+    else:
+        arr = A.dense() if hasattr(A, "dense") else A
+        h.update(np.ascontiguousarray(np.asarray(arr, np.float32)).tobytes())
     return h.hexdigest()[:16]
 
 
@@ -37,9 +41,7 @@ def save_state(solver, path: Union[str, Path]) -> None:
         z=np.asarray(solver._z),
         zt=np.asarray(solver._zt),
         rho=np.asarray(solver.rho),
-        fingerprint=np.asarray(_fingerprint(solver.A.dense()
-                                            if hasattr(solver.A, "dense")
-                                            else solver.A)),
+        fingerprint=np.asarray(_fingerprint(solver.A)),
         shape=np.asarray([solver.m, solver.n]),
     )
 
@@ -59,8 +61,7 @@ def load_state(solver, path: Union[str, Path], strict: bool = True):
             f"checkpoint shape {(m, n)} != solver shape {(solver.m, solver.n)}"
         )
     if strict:
-        fp = _fingerprint(solver.A.dense() if hasattr(solver.A, "dense")
-                          else solver.A)
+        fp = _fingerprint(solver.A)
         if str(data["fingerprint"]) != fp:
             raise ValueError(
                 "checkpoint was created for a different matrix "

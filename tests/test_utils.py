@@ -92,3 +92,20 @@ def test_device_time_runs():
     dt = device_time(f, x, reps=5, warmup=2,
                      vary=lambda i: (x * (1.0 + 1e-6 * i),))
     assert dt >= 0.0
+
+
+def test_checkpoint_sparse_solver(tmp_path):
+    sp = pytest.importorskip("scipy.sparse")
+    A = sp.random(30, 15, density=0.4, random_state=5, format="csr")
+    b = np.random.default_rng(0).standard_normal(30)
+    f = FunctionVector(Function.SQUARE, 30, b=b)
+    g = FunctionVector(Function.ABS, 15, c=0.1)
+    s1 = GraphFormSolver(A, sparse_policy="keep")
+    r1 = s1.solve(f, g)
+    assert r1.status == Status.SUCCESS
+    path = tmp_path / "sparse_ckpt.npz"
+    s1.save_state(path)
+    s2 = GraphFormSolver(A, sparse_policy="keep").load_state(path)
+    r2 = s2.solve(f, g)
+    assert r2.status == Status.SUCCESS
+    assert int(r2.final_iter) <= int(r1.final_iter)
