@@ -148,3 +148,29 @@ def test_fused_via_solver_front_end(rng):
     np.testing.assert_allclose(
         np.asarray(res_f.x), np.asarray(res_x.x), atol=5e-5
     )
+
+
+def test_fused_warm_start_lambda_path(rng):
+    """Warm-started repeat solves through the fused path match the XLA
+    path (has_warm=True plumbs z0/zt0 into the kernel)."""
+    from pogs_tpu.solver.graph import GraphFormSolver
+    from pogs_tpu.types import Status
+
+    A, b = _rand_problem(rng, 40, 24)
+    f = FunctionVector(Function.SQUARE, 40, b=b, dtype=jnp.float32)
+    st = SolverSettings(max_iter=600)
+    iters = {}
+    for label, uf in (("fused", True), ("xla", False)):
+        solver = GraphFormSolver(A, dtype=jnp.float32,
+                                 settings=st.replace(use_fused=uf))
+        seq = []
+        for frac in (1.0, 0.7, 0.5):
+            g = FunctionVector(Function.ABS, 24, c=frac * 0.6,
+                               dtype=jnp.float32)
+            res = solver.solve(f, g)
+            assert res.status == Status.SUCCESS
+            seq.append(int(res.final_iter))
+        iters[label] = seq
+    assert iters["fused"] == iters["xla"]
+    # Warm-started continuation converges faster than the cold solve.
+    assert min(iters["fused"][1:]) <= iters["fused"][0]
