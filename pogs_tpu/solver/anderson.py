@@ -85,7 +85,10 @@ def anderson_step(
         jnp.eye(mem, dtype=dt),
     )
     rhs = (dF_m @ f) * valid
-    theta = jnp.linalg.solve(G_mat, rhs) * valid
+    # G_mat is SPD (Gram + reg); Cholesky-based solve — LU does not lower
+    # reliably on TPU (especially f64).
+    L = jnp.linalg.cholesky(G_mat)
+    theta = jax.scipy.linalg.cho_solve((L, True), rhs) * valid
 
     ok = jnp.all(jnp.isfinite(theta)) & (jnp.max(jnp.abs(theta)) <= max_weight) \
         & (m_k > 0)
