@@ -104,11 +104,11 @@ def _kernel_body(
     # refs: matrices/factors
     A_ref, At_ref, Kinv_ref,
     # problem data
-    b_ref, c_ref, tx_ref, ty_ref, scal_ref,
+    b_ref, c_ref, tx_ref, ty_ref, scal_ref, u0x_ref, u0y_ref,
     # cone masks (primal + dual), padded (1, Mp) float32 0/1
     zm_ref, nnm_ref, npm_ref, dnnm_ref, dnpm_ref,
     # outputs
-    wx_ref, wy_ref, stats_ref,
+    wx_ref, wy_ref, ux_ref, uy_ref, stats_ref,
 ):
     abs_tol_f, rel_tol_f, max_iter = settings_tuple
     abs_tol = jnp.asarray(abs_tol_f, dt)
@@ -294,8 +294,9 @@ def _kernel_body(
 
     Np = c.shape[1]
     Mp = b.shape[1]
+    ut0 = scal_ref[0, 3]
     init = (
-        jnp.zeros((1, Np), dt), jnp.zeros((1, Mp), dt), jnp.asarray(1.0, dt),
+        u0x_ref[:], u0y_ref[:], ut0,
         jnp.zeros((1, Np), dt), jnp.zeros((1, Mp), dt), jnp.asarray(1.0, dt),
         jnp.asarray(K_ALPHA_MIN, dt), jnp.asarray(1.0, dt),
         jnp.asarray(jnp.finfo(dt).max, dt),
@@ -309,10 +310,12 @@ def _kernel_body(
 
     wx_ref[:] = wx
     wy_ref[:] = wy
+    ux_ref[:] = ux
+    uy_ref[:] = uy
     lane = lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
     stats = jnp.zeros((1, _LANE), dt)
     for slot_i, val in enumerate(
-        (wt, k.astype(dt), status.astype(dt), fp, r_pri, r_dua, gap)
+        (wt, k.astype(dt), status.astype(dt), fp, r_pri, r_dua, gap, ut)
     ):
         stats = jnp.where(lane == slot_i, val, stats)
     stats_ref[:] = stats
@@ -331,6 +334,7 @@ def fused_hsde_solve(
     rel_tol: float,
     max_iter: int,
     interpret: Optional[bool] = None,
+    u0=None,
 ):
     """Drop-in fused counterpart of hsde_solve (SMW strategy).
 
@@ -377,6 +381,15 @@ def fused_hsde_solve(
     scal = scal.at[0, 0].set(jnp.asarray(s_den, dt))
     scal = scal.at[0, 1].set(jnp.linalg.norm(jnp.asarray(b, dt)))
     scal = scal.at[0, 2].set(jnp.linalg.norm(jnp.asarray(c, dt)))
+    if u0 is None:
+        u0x = jnp.zeros((1, np_), dt)
+        u0y = jnp.zeros((1, mp), dt)
+        scal = scal.at[0, 3].set(jnp.asarray(1.0, dt))
+    else:
+        u0 = jnp.asarray(u0, dt)
+        u0x = jnp.zeros((1, np_), dt).at[0, :n].set(u0[:n])
+        u0y = jnp.zeros((1, mp), dt).at[0, :m].set(u0[n:n + m])
+        scal = scal.at[0, 3].set(u0[n + m])
 
     kern = functools.partial(
         _kernel_body, m, n, tall, tuple(segs), tuple(dual_segs),
@@ -390,18 +403,22 @@ def fused_hsde_solve(
         out_shape=[
             jax.ShapeDtypeStruct((1, np_), dt),   # w_x
             jax.ShapeDtypeStruct((1, mp), dt),    # w_y
+            jax.ShapeDtypeStruct((1, np_), dt),   # u_x
+            jax.ShapeDtypeStruct((1, mp), dt),    # u_y
             jax.ShapeDtypeStruct((1, _LANE), dt),  # stats
         ],
-        in_specs=[vm] * 13,
-        out_specs=[vm] * 3,
+        in_specs=[vm] * 15,
+        out_specs=[vm] * 5,
         interpret=interpret,
     )(A_pad, At_pad, Kinv_pad, b_pad, c_pad, tx_pad, ty_pad, scal,
-      zm, nnm, npm, dnnm, dnpm)
-    wx, wy, stats = outs
+      u0x, u0y, zm, nnm, npm, dnnm, dnpm)
+    wx, wy, ux, uy, stats = outs
 
     w = jnp.concatenate([wx[0, :n], wy[0, :m], stats[0, 0:1]])
+    u_out = jnp.concatenate([ux[0, :n], uy[0, :m], stats[0, 7:8]])
     return {
         "w": w,
+        "u": u_out,
         "status": stats[0, 2].astype(jnp.int32),
         "final_iter": stats[0, 1].astype(jnp.int32),
         "fp_resid": stats[0, 3],

@@ -141,7 +141,7 @@ class ConeSolver:
     # -- solve ---------------------------------------------------------------
 
     def solve(self, b, c, P=None, settings: Optional[SolverSettings] = None,
-              _no_sync: bool = False):
+              warm_start: bool = False, _no_sync: bool = False):
         settings = (settings.replace(use_exact_tol=True)
                     if settings is not None else self.settings)
         # rho is a *traced* argument (self.rho), never compile-time state;
@@ -167,14 +167,18 @@ class ConeSolver:
             return self._solve_qp_as_socp(b, c, P, settings, _no_sync)
         self.init()
 
+        has_warm = bool(warm_start and self.use_hsde
+                        and getattr(self, "_u", None) is not None)
         key = (
             (self.m, self.n), str(self.dtype), _cone_key(self.Kx.constraints),
             _cone_key(self.Ky.constraints), settings, self.use_hsde,
-            self.strategy, self.projector, P is not None,
+            self.strategy, self.projector, P is not None, has_warm,
         )
         fn = _CONE_SOLVE_CACHE.get(key)
         if fn is None:
-            fn = jax.jit(highest_precision(self._build_solve(settings, P is not None)))
+            fn = jax.jit(highest_precision(
+                self._build_solve(settings, P is not None, has_warm)
+            ))
             _CONE_SOLVE_CACHE[key] = fn
 
         npdt = np.dtype(str(self.dtype))
@@ -184,9 +188,14 @@ class ConeSolver:
             b = b * self._row_scale.astype(npdt)
             c = c / self._col_scale.astype(npdt)
         t0 = time.perf_counter()
+        u0 = self._u if has_warm else np.zeros((1,), np.float32)
         out = fn(self._init_state, b, c,
                  P if P is not None else np.zeros((0, 0), np.float32),
-                 float(self.rho))
+                 float(self.rho), u0)
+        if self.use_hsde and "u" in out:
+            # HSDE warm start for the next solve (receding-horizon pattern;
+            # the reference has no cone-path warm start).
+            self._u = out["u"]
         if self._needs_svec:
             rs = jnp.asarray(self._row_scale, self.dtype)
             cs = jnp.asarray(self._col_scale, self.dtype)
@@ -267,7 +276,8 @@ class ConeSolver:
 
     # -- jitted solve builders -------------------------------------------------
 
-    def _build_solve(self, settings: SolverSettings, has_P: bool):
+    def _build_solve(self, settings: SolverSettings, has_P: bool,
+                     has_warm: bool = False):
         m, n = self.m, self.n
         Kx, Ky = self.Kx, self.Ky
         strategy = self.strategy
@@ -276,7 +286,7 @@ class ConeSolver:
         proj = (DirectProjector() if self.projector == "direct"
                 else CglsProjector(max_iter=settings.cgls_max_iter))
 
-        def solve(init_state, b_orig, c_orig, P_orig, rho0):
+        def solve(init_state, b_orig, c_orig, P_orig, rho0, u0):
             A = init_state["A"]
             d = init_state["d"]
             e = init_state["e"]
@@ -332,6 +342,7 @@ class ConeSolver:
                         smw_factor["s_den"],
                         settings.abs_tol, settings.rel_tol,
                         settings.max_iter,
+                        u0=u0 if has_warm else None,
                     )
                 else:
                     out = hsde_solve(
@@ -341,6 +352,7 @@ class ConeSolver:
                         use_anderson=settings.use_anderson,
                         anderson_mem=settings.anderson_mem,
                         anderson_start=settings.anderson_start,
+                        u0=u0 if has_warm else None,
                     )
                 w = out["w"]
                 tau = w[n + m]
@@ -364,6 +376,7 @@ class ConeSolver:
                     "optval": optval, "final_iter": out["final_iter"],
                     "status": out["status"], "r_pri": out["r_pri"],
                     "r_dua": out["r_dua"], "gap": out["gap"],
+                    "u": out["u"],
                 }
 
             # ---- graph-form cone path (Kx non-empty, P empty) --------------

@@ -250,6 +250,7 @@ def hsde_solve(
     use_anderson: bool = False,
     anderson_mem: int = 5,
     anderson_start: int = 10,
+    u0=None,
 ):
     """Run the HSDE DR iteration on the *scaled* problem. Pure/traceable.
 
@@ -442,7 +443,10 @@ def hsde_solve(
         done = st.done | (st.k >= max_iter - 1) | jnp.logical_not(jnp.isfinite(fp_resid))
         return st._replace(k=jnp.where(st.done, st.k, st.k + 1), done=done)
 
-    u0 = jnp.zeros(dim, dt).at[n + m].set(1.0)
+    if u0 is None:
+        u0 = jnp.zeros(dim, dt).at[n + m].set(1.0)
+    else:
+        u0 = jnp.asarray(u0, dt)
     init = HsdeState(
         u=u0,
         w=jnp.zeros(dim, dt),
@@ -462,6 +466,7 @@ def hsde_solve(
 
     return {
         "w": st.w,
+        "u": st.u,
         "status": st.status,
         "final_iter": st.k,
         "fp_resid": st.fp_resid,
