@@ -110,6 +110,7 @@ def solve_cone(
     strategy: Optional[str] = None,
     solver: Optional[ConeSolver] = None,
     assume_svec: bool = False,
+    warm_start: bool = False,
 ):
     """General cone-form solve; returns the reference result-dict contract."""
     settings = SolverSettings(
@@ -123,7 +124,7 @@ def solve_cone(
     if rho is not None:
         solver.rho = float(rho)
     t0 = time.perf_counter()
-    res = solver.solve(b, c, P=P, settings=settings)
+    res = solver.solve(b, c, P=P, settings=settings, warm_start=warm_start)
     # One bundled d2h transfer: on remote/tunneled accelerators each
     # separate fetch costs a full round trip (~50 ms).
     import jax
