@@ -15,10 +15,8 @@ Algorithmic semantics match pogs_tpu/solver/admm.py exactly (same constants
 from the reference, src/cpu/pogs.cpp:94-110), with two deviations that do
 not change results:
 
-  * exact residuals are computed every iteration and *selected* by the
-    "near tolerance" predicate instead of branched into (two extra
-    VMEM-resident matvecs per iteration are cheaper than a cond inside a
-    kernel);
+  * exact residuals run behind an in-kernel ``lax.cond`` gated by the
+    same "near tolerance" predicate as the XLA loop (identical decisions);
   * verbose tracing, Anderson acceleration, and exact-tol (cone) mode are
     not supported — the solver front end falls back to the XLA loop.
 
@@ -48,8 +46,12 @@ from pogs_tpu.solver.admm import (
 )
 
 _LANE = 128
-# VMEM budget for the fused path (bytes); conservative vs the ~16 MB core.
-_VMEM_BUDGET = 10 * 1024 * 1024
+# VMEM budget for the fused path (bytes).  Calibrated against measured
+# Mosaic scoped-VMEM compiles on v5e (16 MB/core): a raw-footprint model of
+# 3.8 MB compiles, 4.3 MB OOMs, i.e. ~4.2x overhead (double buffering +
+# while-carry copies) — need = 4*raw with a 15 MB budget tracks the real
+# boundary with margin.
+_VMEM_BUDGET = 15 * 1024 * 1024
 
 
 def pad_to(k: int, mult: int = _LANE) -> int:
@@ -64,8 +66,8 @@ def fused_admm_eligible(m: int, n: int, dtype, settings: SolverSettings) -> bool
     k = min(mp, np_)
     itemsize = jnp.dtype(dtype).itemsize
     # A + A^T + Ginv + ~24 state/param vectors; the x4 is the measured
-    # Mosaic scoped-VMEM overhead (double buffering + while-carry copies:
-    # a 1024x512 problem with a 2.6 MB footprint model allocated 21 MB).
+    # Mosaic scoped-VMEM overhead (double buffering + while-carry copies),
+    # boundary-probed on v5e: raw 3.8 MB compiles, 4.3 MB OOMs.
     need = 4 * (2 * mp * np_ + k * k + 24 * (mp + np_)) * itemsize
     return need <= _VMEM_BUDGET
 

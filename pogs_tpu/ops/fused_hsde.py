@@ -37,7 +37,11 @@ from pogs_tpu.solver.hsde import (
     K_ALPHA_MIN, K_ALPHA_MAX, K_ALPHA_GROW, K_TAU_TOL, K_TAU_REL,
     K_KAPPA_TOL, K_CHECK_EVERY,
 )
-from pogs_tpu.ops.fused_admm import pad_to, _VMEM_BUDGET
+from pogs_tpu.ops.fused_admm import pad_to
+
+# HSDE kernel budget: kept below the graph kernel's calibrated 15 MB (its
+# footprint adds t_x/t_y/masks and has not been boundary-probed).
+_VMEM_BUDGET = 10 * 1024 * 1024
 
 _LANE = 128
 
