@@ -14,9 +14,9 @@ Supported (falls back to the XLA loop otherwise — see
     *contiguous* index ranges (the layout CVXPY/SCS-style data always
     has).  Exp cones and SDP use the XLA loop.
 
-Semantics match :func:`pogs_tpu.solver.hsde.hsde_solve` exactly, with the
-residual/certificate check computed every iteration and *applied* on the
-every-10-iterations cadence (same decisions, VMEM-cheap extra matvecs).
+Semantics match :func:`pogs_tpu.solver.hsde.hsde_solve` exactly; the
+residual/certificate check runs behind an in-kernel ``lax.cond`` on the
+same every-10-iterations cadence.
 """
 
 from __future__ import annotations
