@@ -41,16 +41,18 @@ def batched_graph_solve(
     A,
     f: FunctionVector,
     g: FunctionVector,
-    g_c_batch,
+    g_c_batch=None,
     g_e_batch=None,
+    f_b_batch=None,
     settings: Optional[SolverSettings] = None,
     mesh: Optional[Mesh] = None,
     batch_axis: str = "batch",
 ):
-    """Solve min f(y) + g_k(x) s.t. y = Ax for a batch of g parameter
-    overrides (g_c_batch[k] replaces g.c; optional g_e_batch[k] replaces
-    g.e).  Everything — equilibration, factorization, the vmapped while
-    loop — is one jit program.
+    """Solve min f_k(y) + g_k(x) s.t. y = Ax for a batch of parameter
+    overrides: g_c_batch[k] replaces g.c, g_e_batch[k] replaces g.e
+    (regularization sweeps), f_b_batch[k] replaces f.b (scenario targets —
+    multi-right-hand-side regression).  Everything — equilibration,
+    factorization, the vmapped while loop — is one jit program.
 
     Returns dict of batched results: x (K,n), y (K,m), optval (K,),
     iterations (K,), status (K,).
@@ -59,30 +61,41 @@ def batched_graph_solve(
     A = jnp.asarray(A)
     dt = A.dtype
     m, n = A.shape
-    K = np.asarray(g_c_batch).shape[0]
+    if g_c_batch is not None:
+        K = np.asarray(g_c_batch).shape[0]
+    elif f_b_batch is not None:
+        K = np.asarray(f_b_batch).shape[0]
+    else:
+        raise ValueError("provide at least one of g_c_batch / f_b_batch")
     has_e = g_e_batch is not None
+    has_fb = f_b_batch is not None
+    has_c = g_c_batch is not None
 
-    key = (A.shape, str(dt), f.h.tobytes(), g.h.tobytes(), settings, K, has_e,
+    key = (A.shape, str(dt), f.h.tobytes(), g.h.tobytes(), settings, K,
+           has_e, has_fb, has_c,
            mesh if mesh is None else (tuple(mesh.shape.items()), batch_axis))
     fn = _BATCH_CACHE.get(key)
     if fn is None:
         projector = DirectProjector()
 
-        def solve_all(A, f_params, g_params, c_batch, e_batch):
+        def solve_all(A, f_params, g_params, c_batch, e_batch, fb_batch):
             dt = A.dtype
             f_params = tuple(jnp.asarray(p, dt) for p in f_params)
             g_params = tuple(jnp.asarray(p, dt) for p in g_params)
             c_batch = jnp.asarray(c_batch, dt)
             e_batch = jnp.asarray(e_batch, dt)
+            fb_batch = jnp.asarray(fb_batch, dt)
             eq = equilibrate(A)
             norm_A = norm2_est(eq.A)
             factor = projector.init(eq.A, s=1.0)
-            f_s = scale_f(_fv(f.h, f_params), eq.d)
 
             def project_fn(px, py, tol, x_warm):
                 return projector.project(eq.A, factor, px, py, tol, x_warm)
 
-            def solve_one(ck, ek):
+            def solve_one(ck, ek, fbk):
+                fa, fbp, fc, fd, fe = f_params
+                f_k = _fv(f.h, (fa, fbk, fc, fd, fe))
+                f_s = scale_f(f_k, eq.d)
                 a, b, c, d, e = g_params
                 g_k = _fv(g.h, (a, b, ck, d, ek))
                 g_s = scale_g(g_k, eq.e)
@@ -106,7 +119,7 @@ def batched_graph_solve(
                     "status": out["status"],
                 }
 
-            return jax.vmap(solve_one)(c_batch, e_batch)
+            return jax.vmap(solve_one)(c_batch, e_batch, fb_batch)
 
         if mesh is not None:
             batch_sharding = NamedSharding(mesh, P(batch_axis))
@@ -115,7 +128,7 @@ def batched_graph_solve(
                 in_shardings=(
                     NamedSharding(mesh, P()),  # A replicated (row-shard via device_put upstream)
                     None, None,
-                    batch_sharding, batch_sharding,
+                    batch_sharding, batch_sharding, batch_sharding,
                 ),
             )
         else:
@@ -123,17 +136,26 @@ def batched_graph_solve(
         _BATCH_CACHE[key] = fn
 
     npdt = np.dtype(str(dt))
-    c_batch = np.asarray(g_c_batch, npdt)
-    if c_batch.ndim == 1:
-        c_batch = np.broadcast_to(c_batch[:, None], (K, n))
+    if has_c:
+        c_batch = np.asarray(g_c_batch, npdt)
+        if c_batch.ndim == 1:
+            c_batch = np.broadcast_to(c_batch[:, None], (K, n))
+    else:
+        c_batch = np.broadcast_to(np.asarray(g.c, npdt)[None, :], (K, n))
     if has_e:
         e_batch = np.asarray(g_e_batch, npdt)
         if e_batch.ndim == 1:
             e_batch = np.broadcast_to(e_batch[:, None], (K, n))
     else:
         e_batch = np.broadcast_to(np.asarray(g.e, npdt)[None, :], (K, n))
+    if has_fb:
+        fb_batch = np.asarray(f_b_batch, npdt)
+        if fb_batch.shape != (K, m):
+            raise ValueError(f"f_b_batch must be (K, m) = {(K, m)}")
+    else:
+        fb_batch = np.broadcast_to(np.asarray(f.b, npdt)[None, :], (K, m))
 
-    return fn(A, tuple(f.params), tuple(g.params), c_batch, e_batch)
+    return fn(A, tuple(f.params), tuple(g.params), c_batch, e_batch, fb_batch)
 
 
 def solve_lasso_path(

@@ -195,3 +195,26 @@ def test_batched_cone_solve_matches_single():
         expect = float(c @ x0s[k] - r * np.linalg.norm(c))
         assert float(out["optval"][k]) == pytest.approx(expect, rel=1e-3,
                                                         abs=1e-3)
+
+
+def test_batched_multi_rhs_regression():
+    """f_b_batch: K regression targets sharing one design matrix — each
+    lane must match its individual solve."""
+    from pogs_tpu.parallel.batch import batched_graph_solve
+    from pogs_tpu.api.graph import solve_lasso
+
+    rng = np.random.default_rng(3)
+    m, n, K = 40, 20, 4
+    A = rng.standard_normal((m, n)).astype(np.float32)
+    B = rng.standard_normal((K, m)).astype(np.float32)
+    lam = 0.3
+    f = FunctionVector(Function.SQUARE, m, dtype=jnp.float32)
+    g = FunctionVector(Function.ABS, n, c=lam, dtype=jnp.float32)
+    st = SolverSettings(abs_tol=1e-5, rel_tol=1e-5)
+    out = batched_graph_solve(A, f, g, f_b_batch=B, settings=st)
+    assert bool(jnp.all(out["status"] == 0))
+    for k in range(K):
+        ref = solve_lasso(A, B[k], lam, abs_tol=1e-5, rel_tol=1e-5,
+                          gap_stop=False)
+        assert float(out["optval"][k]) == pytest.approx(ref["optval"],
+                                                        rel=2e-3, abs=1e-3)
