@@ -255,11 +255,14 @@ class GraphFormSolver:
     def init(self):
         """Equilibrate + factor (idempotent)."""
         if self._init_state is None:
+            t0 = time.perf_counter()
             fn = _get_init_fn(
                 (self.m, self.n), self.dtype, self.projector,
                 self.direct_method, self.settings.cgls_max_iter,
             )
             self._init_state = fn(self.A)
+            # Init-vs-solve time split (reference pogs.cpp:485-490).
+            self.init_time = time.perf_counter() - t0
         return self
 
     def reset_warm_start(self):
@@ -362,9 +365,11 @@ class GraphFormSolver:
 
         if settings.verbose > 0:
             # Final summary (reference pogs.cpp:484-500).
+            init_ms = getattr(self, "init_time", 0.0) * 1e3
             print(
                 f" status: {Status(status_val).name}, "
                 f"iterations: {int(out['final_iter'])}, "
+                f"init: {init_ms:.2f} ms, "
                 f"solve time: {solve_time * 1e3:.2f} ms\n"
                 f" optval: {float(out['optval']):.6e}, "
                 f"nrm_r: {float(out['nrm_r']):.2e}, "
