@@ -207,3 +207,32 @@ def test_max_iter_status(rng):
     res = solve_lasso(A, b, 0.1, abs_tol=1e-12, rel_tol=1e-12, max_iter=3)
     assert res["status"] == Status.MAX_ITER
     assert res["iterations"] == 2  # 0-based final_iter at break
+
+
+def test_f32_tolerance_attainment_family():
+    """All five README problem families reach SUCCESS at default tolerances
+    in float32 (the TPU-native iterate precision)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pogs_tpu import (
+        solve_lasso, solve_ridge, solve_elastic_net, solve_logistic,
+        solve_svm, Status,
+    )
+
+    rng = np.random.default_rng(9)
+    m, n = 120, 60
+    A = rng.standard_normal((m, n)).astype(np.float32)
+    b = rng.standard_normal(m).astype(np.float32)
+    labels = np.sign(rng.standard_normal(m)).astype(np.float32)
+    lam = 0.2 * float(np.max(np.abs(A.T @ b)))
+
+    runs = [
+        solve_lasso(A, b, lam, dtype=jnp.float32),
+        solve_ridge(A, b, 0.5, dtype=jnp.float32),
+        solve_elastic_net(A, b, 0.5 * lam, 0.3, dtype=jnp.float32),
+        solve_logistic(A, labels, 0.1, dtype=jnp.float32),
+        solve_svm(A, labels, 1.0, dtype=jnp.float32),
+    ]
+    for out in runs:
+        assert out["status"] == int(Status.SUCCESS)
+        assert np.all(np.isfinite(out["x"]))
