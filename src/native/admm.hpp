@@ -142,12 +142,20 @@ struct DirectFactor {
   std::size_t m = 0, n = 0;
   std::vector<double> L;        // Cholesky factor of (Gram + I), k x k
   const double* A = nullptr;    // equilibrated dense A, row-major
+  std::vector<double> At;       // transposed copy: A^T row-major (n x m) —
+                                // makes A^T y a parallel row-major gemv
+                                // (the reference's dual-format trick,
+                                // matrix_sparse.cpp:97-128, applied dense)
 };
 
 inline bool direct_init(std::size_t m, std::size_t n, const double* A,
                         DirectFactor& fac) {
   fac.tall = m >= n;
   fac.m = m; fac.n = n; fac.A = A;
+  fac.At.resize(m * n);
+#pragma omp parallel for if (m * n > 16384)
+  for (std::size_t i = 0; i < m; ++i)
+    for (std::size_t j = 0; j < n; ++j) fac.At[j * m + i] = A[i * n + j];
   const std::size_t k = fac.tall ? n : m;
   fac.L.resize(k * k);
   gram(m, n, A, fac.tall, fac.L.data());
@@ -161,7 +169,7 @@ inline void direct_project(const DirectFactor& fac, const double* x0,
   if (fac.tall) {
     // x = (A^T A + I)^{-1} (x0 + A^T y0); y = A x.
     std::vector<double> rhs(n);
-    gemv_t(m, n, fac.A, y0, rhs.data());
+    gemv(n, m, fac.At.data(), y0, rhs.data());  // A^T y0, parallel
     axpy(n, 1.0, x0, rhs.data());
     cholesky_solve(n, fac.L.data(), rhs.data(), x);
     gemv(m, n, fac.A, x, y);
@@ -171,7 +179,7 @@ inline void direct_project(const DirectFactor& fac, const double* x0,
     gemv(m, n, fac.A, x0, rhs.data());
     axpy(m, -1.0, y0, rhs.data());
     cholesky_solve(m, fac.L.data(), rhs.data(), w.data());
-    gemv_t(m, n, fac.A, w.data(), atw.data());
+    gemv(n, m, fac.At.data(), w.data(), atw.data());  // A^T w, parallel
     for (std::size_t j = 0; j < n; ++j) x[j] = x0[j] - atw[j];
     for (std::size_t i = 0; i < m; ++i) y[i] = y0[i] + w[i];
   }
