@@ -84,7 +84,7 @@ def project_sdp_packed(v, nmat: int, scaled: bool = False):
     return out
 
 
-def project_exp_primal(v, bisect_iters: int = 50, grid_points: int = 128):
+def project_exp_primal(v, bisect_iters: int = 50):
     """Project rows v=(r,s,t) onto cl K_exp = {(r,s,t): s>0, s e^{r/s} ≤ t}
     ∪ {(r,s,t): r ≤ 0, s = 0, t ≥ 0}.
 
@@ -96,12 +96,12 @@ def project_exp_primal(v, bisect_iters: int = 50, grid_points: int = 128):
 
     F has a pole where e^{2u} + u = 0 and a sign structure the reference's
     single [-50,50] bisection can silently miss (losing the root and
-    returning an infeasible point).  We instead (a) scan a fixed u-grid for
-    a *valid* sign change (both endpoints non-penalty), (b) bisect inside
-    it, and (c) select the final answer as the closest **feasible**
-    candidate among {v if in-cone, the ray point, 0, the boundary point
-    from the root} — the projection is unique, so feasible-nearest is
-    exact whenever the candidate set contains it, and never returns an
+    returning an infeasible point).  We instead (a) bisect each side of the
+    (unique) pole separately on a cancellation-free reformulation of F,
+    and (b) select the final answer as the closest **feasible** candidate
+    among {v if in-cone, the ray point, 0, the boundary points from the
+    two roots} — the projection is unique, so feasible-nearest is exact
+    whenever the candidate set contains it, and never returns an
     infeasible point.  Fully vectorized over the batch.
     """
     dt = v.dtype
