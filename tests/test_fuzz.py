@@ -119,3 +119,35 @@ def test_random_socp_ball_vs_closed_form(seed):
     assert abs(out["optval"] - expect) <= 2e-3 * (1 + abs(expect)), (
         f"seed {seed} ({strategy}): {out['optval']:.6f} vs {expect:.6f}"
     )
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_random_sparse_three_way(native, seed):
+    """Sparse problems agree three ways: JAX/BCOO-CGLS, JAX dense-direct,
+    and the native C++ CSR-CGLS runtime."""
+    import scipy.sparse as sp
+    from pogs_tpu.api.graph import solve_graph_form
+    from pogs_tpu.solver.graph import GraphFormSolver
+
+    rng = np.random.default_rng(300 + seed)
+    m = int(rng.integers(25, 70))
+    n = int(rng.integers(10, 35))
+    A = sp.random(m, n, density=0.35, random_state=seed, format="csr")
+    b = rng.standard_normal(m)
+    f = FunctionVector(Function.SQUARE, m, b=b)
+    g = FunctionVector(Function.ABS, n, c=0.15)
+    kws = dict(abs_tol=1e-6, rel_tol=1e-6, max_iter=20000)
+
+    sparse_solver = GraphFormSolver(A, sparse_policy="keep", dtype="float64")
+    out_sp = sparse_solver.solve(
+        f, g, settings=sparse_solver.settings.replace(**kws))
+    out_dn = solve_graph_form(np.asarray(A.todense()), f, g,
+                              dtype="float64", gap_stop=False, **kws)
+    out_nat = native.solve_graph_native(A, f, g, **kws)
+
+    assert out_sp.status == Status.SUCCESS
+    assert out_dn["status"] == int(Status.SUCCESS)
+    assert out_nat["status"] == Status.SUCCESS
+    v = float(out_dn["optval"])
+    assert float(out_sp.optval) == pytest.approx(v, rel=2e-3, abs=1e-4)
+    assert out_nat["optval"] == pytest.approx(v, rel=2e-3, abs=1e-4)
