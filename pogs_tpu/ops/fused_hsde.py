@@ -39,9 +39,9 @@ from pogs_tpu.solver.hsde import (
 )
 from pogs_tpu.ops.fused_admm import pad_to
 
-# HSDE kernel budget: kept below the graph kernel's calibrated 15 MB (its
-# footprint adds t_x/t_y/masks and has not been boundary-probed).
-_VMEM_BUDGET = 10 * 1024 * 1024
+# HSDE kernel budget, boundary-probed on v5e: 768x384 (need 12.3 MB under
+# the x4 model) compiles, 896x384 (13.7 MB) OOMs.
+_VMEM_BUDGET = int(12.5 * 1024 * 1024)
 
 _LANE = 128
 
