@@ -109,3 +109,13 @@ def test_checkpoint_sparse_solver(tmp_path):
     r2 = s2.solve(f, g)
     assert r2.status == Status.SUCCESS
     assert int(r2.final_iter) <= int(r1.final_iter)
+
+
+def test_profiler_trace_writes(tmp_path):
+    import os
+    import jax
+    from pogs_tpu import trace
+
+    with trace(str(tmp_path)):
+        jax.block_until_ready(jnp.ones((64,)) * 2.0)
+    assert any(files for _, _, files in os.walk(tmp_path))
