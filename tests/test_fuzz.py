@@ -151,3 +151,38 @@ def test_random_sparse_three_way(native, seed):
     v = float(out_dn["optval"])
     assert float(out_sp.optval) == pytest.approx(v, rel=2e-3, abs=1e-4)
     assert out_nat["optval"] == pytest.approx(v, rel=2e-3, abs=1e-4)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_random_sdp_min_eig(seed):
+    """min t s.t. C + t I ⪰ 0  →  t* = -lambda_min(C); batched-eigh SDP
+    projection against numpy's eigenvalue oracle."""
+    from pogs_tpu.api.cone import solve_cone_problem
+
+    rng = np.random.default_rng(400 + seed)
+    nmat = int(rng.integers(4, 9))
+    C = rng.standard_normal((nmat, nmat))
+    C = (C + C.T) / 2
+    expect = -float(np.linalg.eigvalsh(C).min())
+
+    # svec packing (column-major lower triangle, sqrt(2) off-diagonals).
+    L = nmat * (nmat + 1) // 2
+    c_pack = np.zeros(L)
+    A = np.zeros((L, 1))
+    k = 0
+    for col in range(nmat):
+        for row in range(col, nmat):
+            w = 1.0 if row == col else np.sqrt(2.0)
+            c_pack[k] = w * C[row, col]
+            A[k, 0] = -w if row == col else 0.0
+            k += 1
+    # b - A x = svec(C) + t svec(I) in PSD cone; minimize t.
+    out = solve_cone_problem(
+        np.array([1.0]), A, c_pack, {"s": [nmat]},
+        abs_tol=1e-6, rel_tol=1e-6, max_iter=20000, dtype="float64",
+        assume_svec=True,
+    )
+    assert out["status"] == int(Status.SUCCESS), seed
+    assert out["x"][0] == pytest.approx(expect, rel=1e-3, abs=1e-3), (
+        f"seed {seed}: t={out['x'][0]:.6f} vs -lambda_min={expect:.6f}"
+    )
