@@ -153,10 +153,18 @@ class FunctionVector:
                 # Already on device: pass through untouched (no d2h).
                 if v.ndim == 0:
                     raise ValueError("scalar device params not supported; pass float")
+                if v.shape[0] != self.n:
+                    raise ValueError(
+                        f"parameter length {v.shape[0]} != objective length {self.n}"
+                    )
                 return v
             arr = np.asarray(v, dtype=np_dtype)
             if arr.ndim == 0:
                 arr = np.full((self.n,), arr, dtype=np_dtype)
+            elif arr.shape[0] != self.n:
+                raise ValueError(
+                    f"parameter length {arr.shape[0]} != objective length {self.n}"
+                )
             return arr
 
         def _clamped(v):

@@ -145,3 +145,19 @@ def test_fv_from_objs_roundtrip():
     assert fv.n == 2
     assert fv.h[0] == int(Function.ABS) and fv.h[1] == int(Function.SQUARE)
     assert np.asarray(fv.a)[0] == 2.0 and np.asarray(fv.e)[1] == 3.0
+
+
+def test_param_length_mismatch_raises():
+    with pytest.raises(ValueError, match="parameter length"):
+        FunctionVector(Function.SQUARE, 10, b=np.ones(7))
+
+
+def test_nan_input_reports_nan_found():
+    A = np.eye(4)
+    A[1, 1] = np.nan
+    f = FunctionVector(Function.SQUARE, 4, b=1.0)
+    g = FunctionVector(Function.ABS, 4)
+    out = solve_graph_form(A, f, g, max_iter=50)
+    assert out["status"] in (int(Status.NAN_FOUND), int(Status.MAX_ITER))
+    # must not silently claim SUCCESS
+    assert out["status"] != int(Status.SUCCESS)
