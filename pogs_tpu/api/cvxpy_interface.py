@@ -423,11 +423,14 @@ def register_solver() -> bool:
             SOLVER_MAP_CONIC, CONIC_SOLVERS, INSTALLED_SOLVERS,
         )
         cls = make_solver_class()
-        SOLVER_MAP_CONIC["POGS_TPU"] = cls()
-        if "POGS_TPU" not in CONIC_SOLVERS:
-            CONIC_SOLVERS.append("POGS_TPU")
-        if "POGS_TPU" not in INSTALLED_SOLVERS:
-            INSTALLED_SOLVERS.append("POGS_TPU")
+        # Register under both names: POGS_TPU, and POGS for drop-in
+        # compatibility with code written against the reference.
+        for name in ("POGS_TPU", "POGS"):
+            SOLVER_MAP_CONIC[name] = cls()
+            if name not in CONIC_SOLVERS:
+                CONIC_SOLVERS.append(name)
+            if name not in INSTALLED_SOLVERS:
+                INSTALLED_SOLVERS.append(name)
         return True
     except Exception:
         return False

@@ -44,7 +44,14 @@ def solve_graph_form(
     dtype=None,
     **solver_kw,
 ):
-    """Solve min f(y) + g(x) s.t. y = Ax. Returns the reference result dict."""
+    """Solve min f(y) + g(x) s.t. y = Ax. Returns the reference result dict.
+
+    ``f``/``g`` accept FunctionVector objects or plain lists of FunctionObj
+    (the reference's calling convention)."""
+    if isinstance(f, (list, tuple)):
+        f = FunctionVector.from_objs(f, dtype=dtype)
+    if isinstance(g, (list, tuple)):
+        g = FunctionVector.from_objs(g, dtype=dtype)
     st = _settings(abs_tol, rel_tol, max_iter, verbose, rho, adaptive_rho,
                    gap_stop, use_fused)
     if solver is None:

@@ -161,3 +161,17 @@ def test_nan_input_reports_nan_found():
     assert out["status"] in (int(Status.NAN_FOUND), int(Status.MAX_ITER))
     # must not silently claim SUCCESS
     assert out["status"] != int(Status.SUCCESS)
+
+
+def test_function_obj_list_api():
+    """Reference calling convention: plain FunctionObj lists."""
+    from pogs_tpu.types import FunctionObj
+
+    n = 6
+    b = np.linspace(-1, 1, n)
+    f = [FunctionObj(Function.SQUARE, b=float(bi)) for bi in b]
+    g = [FunctionObj(Function.ABS, c=0.3) for _ in range(n)]
+    out = solve_graph_form(np.eye(n), f, g, abs_tol=1e-6, rel_tol=1e-6)
+    assert out["status"] == 0
+    expect = np.sign(b) * np.maximum(np.abs(b) - 0.3, 0.0)
+    np.testing.assert_allclose(out["x"], expect, atol=1e-3)
