@@ -422,11 +422,14 @@ def register_solver() -> bool:
         from cvxpy.reductions.solvers.defines import (
             SOLVER_MAP_CONIC, CONIC_SOLVERS, INSTALLED_SOLVERS,
         )
-        cls = make_solver_class()
+        base = make_solver_class()
         # Register under both names: POGS_TPU, and POGS for drop-in
-        # compatibility with code written against the reference.
+        # compatibility with code written against the reference.  Each
+        # entry's name() reports its own key (cvxpy dispatches on it).
         for name in ("POGS_TPU", "POGS"):
-            SOLVER_MAP_CONIC[name] = cls()
+            solver_cls = type(name, (base,),
+                              {"name": (lambda self, _n=name: _n)})
+            SOLVER_MAP_CONIC[name] = solver_cls()
             if name not in CONIC_SOLVERS:
                 CONIC_SOLVERS.append(name)
             if name not in INSTALLED_SOLVERS:
