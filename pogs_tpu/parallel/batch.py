@@ -196,6 +196,8 @@ def batched_cone_solve(
     Returns dict of batched results: x (K, n), y (K, m), optval (K,),
     iterations (K,), status (K,).
     """
+    import warnings
+
     from pogs_tpu.types import ConeConstraint
     from pogs_tpu.cones.sets import ConeSet
     from pogs_tpu.solver.hsde import hsde_solve
@@ -203,6 +205,12 @@ def batched_cone_solve(
     settings = settings or SolverSettings()
     A = jnp.asarray(A)
     dt = A.dtype
+    if dt == jnp.float32 and min(settings.abs_tol, settings.rel_tol) < 1e-5:
+        warnings.warn(
+            "tolerances below 1e-5 sit at the float32 accuracy floor; "
+            "borderline lanes may report MAX_ITER at the optimum",
+            stacklevel=2,
+        )
     m, n = A.shape
     b_batch = np.asarray(b_batch, np.dtype(str(dt)))
     K = b_batch.shape[0]

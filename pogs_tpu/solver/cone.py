@@ -18,6 +18,7 @@ each non-separable cone (pogs.cpp:758-782).
 from __future__ import annotations
 
 import time
+import warnings
 from typing import Optional, Sequence
 
 import numpy as np
@@ -144,6 +145,15 @@ class ConeSolver:
               warm_start: bool = False, _no_sync: bool = False):
         settings = (settings.replace(use_exact_tol=True)
                     if settings is not None else self.settings)
+        if (self.dtype == jnp.float32
+                and min(settings.abs_tol, settings.rel_tol) < 1e-5):
+            warnings.warn(
+                "tolerances below 1e-5 sit at the float32 accuracy floor "
+                "(solves may report MAX_ITER at the optimum); use "
+                "dtype='float64' with jax.config.update('jax_enable_x64', "
+                "True) for tighter accuracy",
+                stacklevel=2,
+            )
         # rho is a *traced* argument (self.rho), never compile-time state;
         # normalize it out of the settings so data-dependent auto-rho values
         # don't fragment the compile cache (a cache miss costs a ~1 s

@@ -218,3 +218,21 @@ def test_batched_multi_rhs_regression():
                           gap_stop=False)
         assert float(out["optval"][k]) == pytest.approx(ref["optval"],
                                                         rel=2e-3, abs=1e-3)
+
+
+def test_batched_cone_large_batch_reliability():
+    """K=64 scenario batch at f32-appropriate tolerances: every lane
+    converges (guards the f32 floor policy)."""
+    from pogs_tpu.parallel.batch import batched_cone_solve
+    from pogs_tpu.types import Cone, ConeConstraint
+
+    rng = np.random.default_rng(77)
+    nc, K = 15, 64
+    x0s = rng.standard_normal((K, nc)).astype(np.float32)
+    c = rng.standard_normal(nc).astype(np.float32)
+    A = np.vstack([np.zeros((1, nc)), -np.eye(nc)]).astype(np.float32)
+    bb = np.concatenate([np.full((K, 1), 1.2, np.float32), -x0s], axis=1)
+    st = SolverSettings(abs_tol=1e-5, rel_tol=1e-5)
+    out = batched_cone_solve(A, bb, c, [ConeConstraint(Cone.SOC, range(nc + 1))],
+                             settings=st)
+    assert int(jnp.sum(out["status"] != 0)) == 0
