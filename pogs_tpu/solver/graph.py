@@ -17,6 +17,7 @@ the reference's LassoPath example (examples/cpp/lasso_path.cpp:90-106).
 from __future__ import annotations
 
 import time
+import warnings
 from typing import Optional
 
 import numpy as np
@@ -298,6 +299,14 @@ class GraphFormSolver:
         if g.n != self.n:
             raise ValueError(f"g has length {g.n}, expected n={self.n}")
         settings = settings or self.settings
+        if (self.dtype == jnp.float32
+                and min(settings.abs_tol, settings.rel_tol) < 1e-5):
+            warnings.warn(
+                "tolerances below 1e-5 sit at the float32 accuracy floor; "
+                "use dtype='float64' (with jax_enable_x64) for tighter "
+                "accuracy",
+                stacklevel=2,
+            )
         # rho is a traced argument; keep data-dependent values out of the
         # compile cache key (see ConeSolver.solve).
         if settings.rho != DEFAULT_RHO:
