@@ -211,11 +211,11 @@ def detect_graph_form(problem) -> Optional[dict]:
             l2 = kinds.pop("l2sq", None)
             if kinds:
                 return None
-            base = {"A": A / np.sqrt(2 * s) if s != 0.5 else A,
-                    "b": b / np.sqrt(2 * s) if s != 0.5 else b}
             # normalize: s*||Ax-b||² == 0.5*||A'x-b'||² with A' = sqrt(2s)A
             if s != 0.5:
-                base = {"A": np.sqrt(2 * s) * A, "b": np.sqrt(2 * s) * b}
+                A = np.sqrt(2 * s) * A
+                b = np.sqrt(2 * s) * b
+            base = {"A": A, "b": b}
             if nonneg and l1 is None and l2 is None:
                 return {"type": "nonneg_ls", "params": base}
             if nonneg:
