@@ -92,11 +92,14 @@ def _masked_apply(table, types, h_arr, v, rho=None):
 
 
 def _prox(params, types, h_arr, v, rho):
-    """prox with the generic (a,b,c,d,e) transform (prox_lib.h:206-230)."""
+    """prox with the generic (a,b,c,d,e) transform (prox_lib.h:206-230);
+    a = 0 degrades to the pure quadratic/linear minimizer."""
     a, b, c, d, e = params
-    vt = a * (v * rho - d) / (e + rho) - b
-    rt = (e + rho) / (c * a * a)
-    return (_masked_apply(PROX, types, h_arr, vt, rt) + b) / a
+    a_safe = jnp.where(a == 0, jnp.ones_like(a), a)
+    vt = a_safe * (v * rho - d) / (e + rho) - b
+    rt = (e + rho) / (c * a_safe * a_safe)
+    out = (_masked_apply(PROX, types, h_arr, vt, rt) + b) / a_safe
+    return jnp.where(a == 0, (v * rho - d) / (e + rho), out)
 
 
 def _feval(params, types, h_arr, x):

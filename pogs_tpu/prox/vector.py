@@ -37,8 +37,11 @@ def prox_eval(fv: FunctionVector, v, rho):
     """
     a, b, c, d, e = fv.params
     rho = jnp.asarray(rho, fv.dtype)
-    vt = a * (v * rho - d) / (e + rho) - b
-    rt = (e + rho) / (c * a * a)
+    # a = 0 makes the h-term constant: prox is the pure quadratic/linear
+    # minimizer (v*rho - d)/(e + rho).  Compute with a safe a and select.
+    a_safe = jnp.where(a == 0, jnp.ones_like(a), a)
+    vt = a_safe * (v * rho - d) / (e + rho) - b
+    rt = (e + rho) / (c * a_safe * a_safe)
 
     out = None
     for ftype, mask in _present_types(fv.h):
@@ -49,7 +52,7 @@ def prox_eval(fv: FunctionVector, v, rho):
             out = jnp.where(jnp.asarray(mask), branch, jnp.zeros_like(branch))
         else:
             out = jnp.where(jnp.asarray(mask), branch, out)
-    return (out + b) / a
+    return jnp.where(a == 0, (v * rho - d) / (e + rho), (out + b) / a_safe)
 
 
 def func_eval(fv: FunctionVector, x):

@@ -188,6 +188,10 @@ void prox_eval(const FunctionArrays<T>& f, std::size_t n, const T* v, double rho
 #pragma omp parallel for if (n > 512)
   for (std::size_t i = 0; i < n; ++i) {
     const double a = f.a[i], b = f.b[i], c = f.c[i], d = f.d[i], e = f.e[i];
+    if (a == 0.0) {  // h-term constant: pure quadratic/linear minimizer
+      out[i] = T((double(v[i]) * rho - d) / (e + rho));
+      continue;
+    }
     const double vt = a * (double(v[i]) * rho - d) / (e + rho) - b;
     const double rt = (e + rho) / (c * a * a);
     out[i] = T((prox_base(f.h[i], vt, rt) + b) / a);

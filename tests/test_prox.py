@@ -252,3 +252,23 @@ def test_prox_argmin_property_all_functions(rng):
                     f"{h.name}: prox not a minimizer "
                     f"(violation {np.max(viol):.2e})"
                 )
+
+
+def test_prox_zero_a_degrades_to_quadratic(rng):
+    """a = 0 makes the h-term constant: prox must be the quadratic/linear
+    minimizer (v*rho - d)/(e + rho), not NaN."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pogs_tpu.types import Function, FunctionVector
+    from pogs_tpu.prox.vector import prox_eval
+
+    n = 8
+    v = rng.standard_normal(n)
+    d = rng.standard_normal(n)
+    e = rng.uniform(0.1, 1.0, n)
+    rho = 1.7
+    fv = FunctionVector(Function.ABS, n, a=0.0, d=d, e=e, dtype=jnp.float64)
+    out = np.asarray(prox_eval(fv, jnp.asarray(v), rho))
+    expect = (v * rho - d) / (e + rho)
+    assert np.all(np.isfinite(out))
+    np.testing.assert_allclose(out, expect, rtol=1e-12)
