@@ -10,7 +10,7 @@ matvecs all reuse the same loop.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
