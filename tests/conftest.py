@@ -16,6 +16,12 @@ import jax  # noqa: E402
 # overrides platform selection via jax.config — override it back.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# Persistent compilation cache: the suite is compile-dominated (~9 min of
+# mostly jit compiles); repeat runs reuse compiled executables.
+_cache_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                          ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
