@@ -30,7 +30,7 @@ def native():
     return nat
 
 
-@pytest.mark.parametrize("seed", range(12))
+@pytest.mark.parametrize("seed", range(16))
 def test_random_problem_jax_vs_native(native, seed):
     rng = np.random.default_rng(seed)
     m = int(rng.integers(15, 60))
@@ -61,7 +61,7 @@ def test_random_problem_jax_vs_native(native, seed):
     )
 
 
-@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("seed", range(12))
 def test_random_lp_vs_scipy(seed):
     """Random feasible bounded LPs vs scipy.optimize.linprog, alternating
     HSDE strategies (smw / direct / cg)."""
