@@ -251,3 +251,39 @@ def test_random_lp_native_cone_vs_python(native, seed):
     assert int(out_nat["status"]) in ok_status, seed
     assert out_nat["optval"] == pytest.approx(out_py["optval"], rel=2e-3,
                                               abs=1e-3), seed
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_random_batched_matches_individual(seed):
+    """vmapped batch solves == per-lane individual solves (guards vmap
+    semantic bugs: frozen-lane flicker, select-vs-cond divergence)."""
+    import jax.numpy as jnp
+    from pogs_tpu.parallel.batch import batched_graph_solve
+    from pogs_tpu.solver.graph import GraphFormSolver
+    from pogs_tpu.types import SolverSettings
+
+    rng = np.random.default_rng(700 + seed)
+    m = int(rng.integers(20, 50))
+    n = int(rng.integers(8, 25))
+    K = 6
+    A = rng.standard_normal((m, n)).astype(np.float32)
+    B = rng.standard_normal((K, m)).astype(np.float32)
+    cs = rng.uniform(0.1, 1.0, K).astype(np.float32)
+    f = FunctionVector(Function.SQUARE, m, dtype=jnp.float32)
+    g = FunctionVector(Function.ABS, n, dtype=jnp.float32)
+    st = SolverSettings(abs_tol=1e-5, rel_tol=1e-5, use_fused=False)
+
+    out = batched_graph_solve(
+        A, f, g,
+        g_c_batch=np.broadcast_to(cs[:, None], (K, n)).copy(),
+        f_b_batch=B, settings=st,
+    )
+    assert bool(np.all(np.asarray(out["status"]) == 0)), seed
+    for k in range(K):
+        solver = GraphFormSolver(A, dtype=jnp.float32, settings=st)
+        fk = FunctionVector(Function.SQUARE, m, b=B[k], dtype=jnp.float32)
+        gk = FunctionVector(Function.ABS, n, c=float(cs[k]), dtype=jnp.float32)
+        ref = solver.solve(fk, gk)
+        assert int(out["iterations"][k]) == int(ref.final_iter), (seed, k)
+        assert float(out["optval"][k]) == pytest.approx(
+            float(ref.optval), rel=1e-3, abs=1e-4), (seed, k)
