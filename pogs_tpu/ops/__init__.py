@@ -10,5 +10,12 @@ from pogs_tpu.ops.fused_admm import (
     fused_admm_loop,
     pad_to,
 )
+from pogs_tpu.ops.fused_hsde import (
+    fused_hsde_eligible,
+    fused_hsde_solve,
+)
 
-__all__ = ["fused_admm_eligible", "fused_admm_loop", "pad_to"]
+__all__ = [
+    "fused_admm_eligible", "fused_admm_loop", "pad_to",
+    "fused_hsde_eligible", "fused_hsde_solve",
+]
