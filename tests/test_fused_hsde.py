@@ -137,3 +137,39 @@ def test_fused_hsde_through_cone_solver():
     assert float(res.optval) == pytest.approx(float(ref.optval), rel=1e-4,
                                               abs=1e-5)
     assert int(res.final_iter) == int(ref.final_iter)
+
+
+def test_fused_hsde_many_soc_segments():
+    """8 SOC segments: the in-kernel segment chain matches the XLA loop
+    (both on a feasible and an infeasible instance)."""
+    from pogs_tpu.solver.cone import ConeSolver
+
+    rng = np.random.default_rng(1)
+    nseg, L, n = 8, 8, 30
+    m = nseg * L
+    F = (rng.standard_normal((m, n)) * 0.3).astype(np.float32)
+    c = rng.standard_normal(n).astype(np.float32)
+    Ky = [ConeConstraint(Cone.SOC, range(k * L, (k + 1) * L))
+          for k in range(nseg)]
+    st = SolverSettings(abs_tol=1e-5, rel_tol=1e-5, max_iter=20000)
+
+    # Infeasible-ish random instance: both paths must agree on the verdict.
+    b_bad = (np.abs(rng.standard_normal(m)) + 0.5).astype(np.float32)
+    res = {}
+    for uf in (True, False):
+        res[uf] = ConeSolver(F, Ky=Ky,
+                             settings=st.replace(use_fused=uf)).solve(b_bad, c)
+    assert res[True].status == res[False].status
+
+    # Feasible instance: heads large enough that x=0 is strictly feasible.
+    b_ok = b_bad.copy()
+    for k in range(nseg):
+        seg = slice(k * L, (k + 1) * L)
+        b_ok[k * L] = float(np.linalg.norm(b_bad[seg][1:]) + 2.0)
+    for uf in (True, False):
+        res[uf] = ConeSolver(F, Ky=Ky,
+                             settings=st.replace(use_fused=uf)).solve(b_ok, c)
+    assert res[True].status == Status.SUCCESS
+    assert res[False].status == Status.SUCCESS
+    assert float(res[True].optval) == pytest.approx(float(res[False].optval),
+                                                    rel=1e-3, abs=1e-4)
