@@ -121,6 +121,11 @@ def _bind(lib: ct.CDLL) -> ct.CDLL:
         ct.POINTER(_ConeC), ct.c_size_t, ct.POINTER(_ConeC), ct.c_size_t,
     ]
     lib.pogs_native_cone_new.restype = ct.c_void_p
+    lib.pogs_native_cone_sparse_new.argtypes = [
+        ct.c_size_t, ct.c_size_t, ct.c_size_t, _I64, _I64, _D,
+        ct.POINTER(_ConeC), ct.c_size_t, ct.POINTER(_ConeC), ct.c_size_t,
+    ]
+    lib.pogs_native_cone_sparse_new.restype = ct.c_void_p
     lib.pogs_native_cone_free.argtypes = [ct.c_void_p]
     lib.pogs_native_cone_free.restype = None
     lib.pogs_native_cone_solve.argtypes = [
@@ -341,10 +346,16 @@ class NativeConeSolver:
             raise RuntimeError(
                 "native library not available; run pogs_tpu.native.build()"
             )
-        A = np.ascontiguousarray(np.asarray(A, dtype=np.float64))
-        if A.ndim != 2:
-            raise ValueError("A must be 2-D")
-        self.m, self.n = A.shape
+        sparse_in = hasattr(A, "tocsr") and not isinstance(A, np.ndarray)
+        if sparse_in:
+            import scipy.sparse as sp_mod
+            A = sp_mod.csr_matrix(A)
+            self.m, self.n = A.shape
+        else:
+            A = np.ascontiguousarray(np.asarray(A, dtype=np.float64))
+            if A.ndim != 2:
+                raise ValueError("A must be 2-D")
+            self.m, self.n = A.shape
         self._lib = lib
 
         def pack(cones):
@@ -360,10 +371,20 @@ class NativeConeSolver:
 
         kx_arr, n_kx, self._kx_keep = pack(Kx)
         ky_arr, n_ky, self._ky_keep = pack(Ky)
-        self._handle = lib.pogs_native_cone_new(
-            0, self.m, self.n, A.ctypes.data_as(_D),
-            kx_arr, n_kx, ky_arr, n_ky,
-        )
+        if sparse_in:
+            indptr = np.ascontiguousarray(A.indptr, dtype=np.int64)
+            indices = np.ascontiguousarray(A.indices, dtype=np.int64)
+            data = np.ascontiguousarray(A.data, dtype=np.float64)
+            self._handle = lib.pogs_native_cone_sparse_new(
+                self.m, self.n, data.shape[0],
+                indptr.ctypes.data_as(_I64), indices.ctypes.data_as(_I64),
+                data.ctypes.data_as(_D), kx_arr, n_kx, ky_arr, n_ky,
+            )
+        else:
+            self._handle = lib.pogs_native_cone_new(
+                0, self.m, self.n, A.ctypes.data_as(_D),
+                kx_arr, n_kx, ky_arr, n_ky,
+            )
         if not self._handle:
             raise RuntimeError(
                 "pogs_native_cone_new failed (invalid cones or SDP requested)"

@@ -164,6 +164,14 @@ PogsNativeConeSolver* pogs_native_cone_new(
     const PogsNativeCone* Kx, size_t num_Kx,
     const PogsNativeCone* Ky, size_t num_Ky);
 
+/* Sparse-CSR variant (CGLS projector; the reference's PogsConeD/S are
+ * likewise indirect). Same solve/free entry points. */
+PogsNativeConeSolver* pogs_native_cone_sparse_new(
+    size_t m, size_t n, size_t nnz,
+    const int64_t* indptr, const int64_t* indices, const double* data,
+    const PogsNativeCone* Kx, size_t num_Kx,
+    const PogsNativeCone* Ky, size_t num_Ky);
+
 /* Solve for given (b, c); the equilibration/factorization and (with
  * settings->warm_start) the iterate persist in the handle. */
 int32_t pogs_native_cone_solve(

@@ -359,18 +359,34 @@ extern "C" int32_t pogs_native_sparse_solve(
 // ---------------------------------------------------------------------------
 
 struct PogsNativeConeSolver {
-  PogsNativeDense dense;  // reuse the dense matrix + equil + factor plumbing
+  // Dense backing (direct projector) or sparse CSR backing (CGLS).
+  PogsNativeDense dense;
+  PogsNativeSparse sp;
+  bool is_sparse = false;
   pn::ConeSetNative Kx, Ky;
 
+  std::size_t m() const { return is_sparse ? sp.m : dense.m; }
+  std::size_t n() const { return is_sparse ? sp.n : dense.n; }
+  std::vector<double>& d() { return is_sparse ? sp.d : dense.d; }
+  std::vector<double>& e() { return is_sparse ? sp.e : dense.e; }
+  pn::WarmState& warm() { return is_sparse ? sp.warm : dense.warm; }
+  double norm_A() const { return is_sparse ? sp.norm_A : dense.norm_A; }
+  pn::LinOp linop() { return is_sparse ? sp.linop() : dense.linop(); }
+
   bool ensure_init() {
-    if (dense.initialized) return !dense.init_failed;
-    dense.initialized = true;
-    pn::LinOp op = dense.linop();
+    bool& initialized = is_sparse ? sp.initialized : dense.initialized;
+    if (initialized) return is_sparse || !dense.init_failed;
+    initialized = true;
+    pn::LinOp op = linop();
     // Cone-averaged Sinkhorn constraints (pogs.cpp:758-782).
     pn::equilibrate(
-        op, 0.0, dense.d, dense.e,
+        op, 0.0, d(), e(),
         [this](std::vector<double>& w) { Ky.constrain_average(w); },
         [this](std::vector<double>& w) { Kx.constrain_average(w); });
+    if (is_sparse) {
+      sp.norm_A = pn::norm2_est(op);
+      return true;
+    }
     dense.norm_A = pn::norm2_est(op);
     dense.init_failed =
         !pn::direct_init(dense.m, dense.n, dense.A.data(), dense.factor);
@@ -433,21 +449,43 @@ extern "C" PogsNativeConeSolver* pogs_native_cone_new(
 
 extern "C" void pogs_native_cone_free(PogsNativeConeSolver* s) { delete s; }
 
+extern "C" PogsNativeConeSolver* pogs_native_cone_sparse_new(
+    size_t m, size_t n, size_t nnz,
+    const int64_t* indptr, const int64_t* indices, const double* data,
+    const PogsNativeCone* Kx, size_t num_Kx,
+    const PogsNativeCone* Ky, size_t num_Ky) {
+  if (!indptr || !indices || !data || m == 0 || n == 0) return nullptr;
+  auto* s = new (std::nothrow) PogsNativeConeSolver;
+  if (!s) return nullptr;
+  s->is_sparse = true;
+  s->sp.m = m;
+  s->sp.n = n;
+  s->sp.indptr.assign(indptr, indptr + m + 1);
+  s->sp.indices.assign(indices, indices + nnz);
+  s->sp.data.assign(data, data + nnz);
+  if (!load_cones(Kx, num_Kx, n, s->Kx) ||
+      !load_cones(Ky, num_Ky, m, s->Ky)) {
+    delete s;
+    return nullptr;
+  }
+  return s;
+}
+
 extern "C" int32_t pogs_native_cone_solve(
     PogsNativeConeSolver* s, const PogsNativeSettings* settings,
     const double* b, const double* c,
     double* x, double* y, double* mu, double* nu, PogsNativeInfo* info) {
   if (!s || !b || !c) return POGS_NATIVE_ERROR;
   if (!s->ensure_init()) return POGS_NATIVE_ERROR;
-  const std::size_t m = s->dense.m, n = s->dense.n;
+  const std::size_t m = s->m(), n = s->n();
 
   // Scale by the equilibration (pogs.cpp:1463-1475, 723-726) and normalize
   // c to unit norm, folding the scale into the optval (pogs.cpp:738-755).
   std::vector<double> b_s(m), c_n(n);
-  for (std::size_t i = 0; i < m; ++i) b_s[i] = b[i] * s->dense.d[i];
+  for (std::size_t i = 0; i < m; ++i) b_s[i] = b[i] * s->d()[i];
   double c_nrm = 0.0;
   for (std::size_t j = 0; j < n; ++j) {
-    c_n[j] = c[j] * s->dense.e[j];
+    c_n[j] = c[j] * s->e()[j];
     c_nrm += c_n[j] * c_n[j];
   }
   c_nrm = std::sqrt(c_nrm);
@@ -457,9 +495,9 @@ extern "C" int32_t pogs_native_cone_solve(
   pn::Settings st = to_settings(settings);
   st.use_exact_tol = true;
   if (!settings || !settings->warm_start) {
-    s->dense.warm.z.clear();
-    s->dense.warm.zt.clear();
-    s->dense.warm.rho = 0.0;
+    s->warm().z.clear();
+    s->warm().zt.clear();
+    s->warm().rho = 0.0;
   }
 
   pn::ProxCallbacks prox;
@@ -482,25 +520,32 @@ extern "C" int32_t pogs_native_cone_solve(
     return acc / c_scale;
   };
 
+  pn::LinOp op = s->linop();
   const pn::DirectFactor& fac = s->dense.factor;
-  auto project = [&fac](const double* x0, const double* y0, double /*tol*/,
-                        double* px, double* py) {
-    pn::direct_project(fac, x0, y0, px, py);
+  const int cg_max = settings ? settings->cgls_max_iter : 500;
+  const bool is_sparse = s->is_sparse;
+  auto project = [&fac, &op, cg_max, is_sparse](
+                     const double* x0, const double* y0, double tol,
+                     double* px, double* py) {
+    if (is_sparse) {
+      pn::cgls_project(op, x0, y0, tol, cg_max, px, py);
+    } else {
+      pn::direct_project(fac, x0, y0, px, py);
+    }
   };
 
-  pn::LinOp op = s->dense.linop();
   std::vector<double> x12(n), y12(m), mus(n), nus(m);
-  pn::Info res = pn::admm_solve_impl(op, s->dense.norm_A, prox, project, st,
-                                     s->dense.warm, &s->dense.d, &s->dense.e,
+  pn::Info res = pn::admm_solve_impl(op, s->norm_A(), prox, project, st,
+                                     s->warm(), &s->d(), &s->e(),
                                      x12.data(), y12.data(), mus.data(),
                                      nus.data());
   for (std::size_t j = 0; j < n; ++j) {
-    if (x) x[j] = x12[j] * s->dense.e[j];
-    if (mu) mu[j] = mus[j] / s->dense.e[j];
+    if (x) x[j] = x12[j] * s->e()[j];
+    if (mu) mu[j] = mus[j] / s->e()[j];
   }
   for (std::size_t i = 0; i < m; ++i) {
-    if (y) y[i] = y12[i] / s->dense.d[i];
-    if (nu) nu[i] = nus[i] * s->dense.d[i];
+    if (y) y[i] = y12[i] / s->d()[i];
+    if (nu) nu[i] = nus[i] * s->d()[i];
   }
   if (info) {
     info->optval = res.optval;

@@ -186,3 +186,19 @@ def test_cone_exp_native(native):
                                    max_iter=10000)
     assert out["status"] == Status.SUCCESS
     assert out["x"][0] == pytest.approx(np.e, rel=1e-2)
+
+
+def test_cone_sparse_native_lp(native):
+    """Sparse CSR cone solve (CGLS projector) matches the dense path."""
+    sp = pytest.importorskip("scipy.sparse")
+    A = np.array([[1.0, 1.0], [-1.0, 0.0], [0.0, -1.0]])
+    b = np.array([1.0, 0.0, 0.0])
+    c = np.array([1.0, 2.0])
+    from pogs_tpu.types import Cone, ConeConstraint
+    Ky = [ConeConstraint(Cone.ZERO, [0]), ConeConstraint(Cone.NON_NEG, [1, 2])]
+    solver = native.NativeConeSolver(sp.csr_matrix(A), Ky=Ky)
+    out = solver.solve(b, c, SolverSettings(abs_tol=1e-6, rel_tol=1e-6))
+    solver.free()
+    assert out["status"] == Status.SUCCESS
+    assert out["optval"] == pytest.approx(1.0, abs=1e-2)
+    np.testing.assert_allclose(out["x"], [1.0, 0.0], atol=1e-2)
