@@ -17,6 +17,8 @@ Prints one JSON line per mesh size plus a summary line.
 """
 
 import json
+import os
+import re
 import time
 
 import numpy as np
@@ -26,6 +28,35 @@ ROWS_PER_DEVICE = 2048
 N = 512
 ITERS = 60
 REPS = 8
+
+ARTIFACT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "scaling_r2.json")
+
+
+def collective_counts(solver, f, g, rho0=1.0):
+    """Lower the FULL jitted solve program for this (sharded) solver and
+    count the collectives GSPMD inserted — structural evidence of the
+    communication plan, no multi-chip hardware needed (VERDICT item 7).
+
+    Expected row plan: the hot loop's only all-reduces are Aᵀ-side psums
+    (projector + residual norms); no all-gather of A anywhere."""
+    from pogs_tpu.solver.graph import _get_solve_fn
+
+    solver.init()
+    fn = _get_solve_fn(
+        (solver.m, solver.n), solver.dtype, f.h, g.h, solver.settings,
+        solver.projector, solver.direct_method, False, False, False,
+        fused=False,
+    )
+    f.to_device()
+    g.to_device()
+    txt = fn.lower(solver._init_state, tuple(f.params), tuple(g.params),
+                   rho0, {}).compile().as_text()
+    return {
+        name: len(re.findall(rf"{name}(?:\.\d+)?\(", txt))
+        for name in ("all-reduce", "all-gather", "reduce-scatter",
+                     "collective-permute", "all-to-all")
+    }
 
 
 def main():
@@ -43,6 +74,7 @@ def main():
                         adaptive_rho=True, use_fused=False)
 
     results = []
+    rows = []
     for d in sizes:
         m = ROWS_PER_DEVICE * d
         rng = np.random.default_rng(7)
@@ -55,6 +87,7 @@ def main():
         mesh = make_mesh((d,), ("rows",))
         A_sh = shard_matrix(jnp.asarray(A), mesh)
         solver = GraphFormSolver(A_sh, dtype=jnp.float32, settings=st)
+        colls = collective_counts(solver, f, g)
         solver.solve(f, g)  # compile + init
 
         ts = []
@@ -66,16 +99,20 @@ def main():
         per_iter_us = float(np.median(ts[2:])) / ITERS * 1e6
         results.append((d, per_iter_us))
         eff = results[0][1] / per_iter_us if per_iter_us > 0 else 0.0
-        print(json.dumps({
+        row = {
             "metric": "weak_scaling_lasso",
             "devices": d,
             "rows": m,
             "cols": N,
             "us_per_iter": round(per_iter_us, 1),
             "weak_scaling_efficiency": round(eff, 3),
+            "collectives_in_solve_program": colls,
             "backend": jax.devices()[0].platform,
-        }))
+        }
+        rows.append(row)
+        print(json.dumps(row))
 
+    summary = None
     if len(results) > 1:
         final_eff = results[0][1] / results[-1][1]
         summary = {
@@ -95,6 +132,13 @@ def main():
                 "expected. Structural validation only."
             )
         print(json.dumps(summary))
+
+    # MULTICHIP-style artifact (VERDICT weak-3): recorded per-mesh rows
+    # including the collective structure of the lowered solve programs.
+    with open(ARTIFACT, "w") as fh:
+        json.dump({"rows": rows, "summary": summary,
+                   "backend": jax.devices()[0].platform}, fh, indent=2)
+    print(f"wrote {ARTIFACT}")
 
 
 if __name__ == "__main__":

@@ -126,6 +126,16 @@ def _bind(lib: ct.CDLL) -> ct.CDLL:
         ct.POINTER(_ConeC), ct.c_size_t, ct.POINTER(_ConeC), ct.c_size_t,
     ]
     lib.pogs_native_cone_sparse_new.restype = ct.c_void_p
+    lib.pogs_native_cone_qp_new.argtypes = [
+        ct.c_int32, ct.c_size_t, ct.c_size_t, _D, _D,
+        ct.POINTER(_ConeC), ct.c_size_t,
+    ]
+    lib.pogs_native_cone_qp_new.restype = ct.c_void_p
+    lib.pogs_native_cone_qp_sparse_new.argtypes = [
+        ct.c_size_t, ct.c_size_t, ct.c_size_t, _I64, _I64, _D, _D,
+        ct.POINTER(_ConeC), ct.c_size_t,
+    ]
+    lib.pogs_native_cone_qp_sparse_new.restype = ct.c_void_p
     lib.pogs_native_cone_free.argtypes = [ct.c_void_p]
     lib.pogs_native_cone_free.restype = None
     lib.pogs_native_cone_solve.argtypes = [
@@ -333,14 +343,18 @@ class NativeSparseSolver(_NativeSolverBase):
 
 
 class NativeConeSolver:
-    """Handle-based cone solver: min c'x s.t. b − Ax ∈ K_y, x ∈ K_x.
+    """Handle-based cone solver: min c'x (+ ½x'Px) s.t. b − Ax ∈ K_y, x ∈ K_x.
 
     Graph-form cone ADMM in exact-tolerance mode (same algorithm as the
-    Python ConeSolver's non-HSDE path).  SDP cones are not supported
-    natively — use the Python/TPU path for those.
+    Python ConeSolver's non-HSDE path).  SDP blocks must be svec-packed
+    (column-major lower triangle, √2-scaled off-diagonals — the CVXPY/SCS
+    conic-data convention; same contract as ConeSolver(assume_svec=True)).
+    ``P`` (dense n×n) selects the QP variant (counterpart of the
+    reference's PogsConeQD/PogsConeDirectQD, pogs_c.h:167-243); K_x must
+    then be empty, as in the reference (pogs.cpp:1941-1944).
     """
 
-    def __init__(self, A, Kx=(), Ky=()):
+    def __init__(self, A, Kx=(), Ky=(), P=None):
         lib = _load()
         if lib is None:
             raise RuntimeError(
@@ -371,14 +385,37 @@ class NativeConeSolver:
 
         kx_arr, n_kx, self._kx_keep = pack(Kx)
         ky_arr, n_ky, self._ky_keep = pack(Ky)
+        if P is not None:
+            if len(Kx) > 0:
+                raise ValueError(
+                    "quadratic objectives with K_x constraints are not "
+                    "supported (composition would not be an exact prox; the "
+                    "reference rejects this too, pogs.cpp:1941-1944)"
+                )
+            P = np.ascontiguousarray(np.asarray(P, dtype=np.float64))
+            if P.shape != (self.n, self.n):
+                raise ValueError(f"P must be {self.n}x{self.n}")
         if sparse_in:
             indptr = np.ascontiguousarray(A.indptr, dtype=np.int64)
             indices = np.ascontiguousarray(A.indices, dtype=np.int64)
             data = np.ascontiguousarray(A.data, dtype=np.float64)
-            self._handle = lib.pogs_native_cone_sparse_new(
-                self.m, self.n, data.shape[0],
-                indptr.ctypes.data_as(_I64), indices.ctypes.data_as(_I64),
-                data.ctypes.data_as(_D), kx_arr, n_kx, ky_arr, n_ky,
+            if P is not None:
+                self._handle = lib.pogs_native_cone_qp_sparse_new(
+                    self.m, self.n, data.shape[0],
+                    indptr.ctypes.data_as(_I64), indices.ctypes.data_as(_I64),
+                    data.ctypes.data_as(_D), P.ctypes.data_as(_D),
+                    ky_arr, n_ky,
+                )
+            else:
+                self._handle = lib.pogs_native_cone_sparse_new(
+                    self.m, self.n, data.shape[0],
+                    indptr.ctypes.data_as(_I64), indices.ctypes.data_as(_I64),
+                    data.ctypes.data_as(_D), kx_arr, n_kx, ky_arr, n_ky,
+                )
+        elif P is not None:
+            self._handle = lib.pogs_native_cone_qp_new(
+                0, self.m, self.n, A.ctypes.data_as(_D), P.ctypes.data_as(_D),
+                ky_arr, n_ky,
             )
         else:
             self._handle = lib.pogs_native_cone_new(
@@ -387,7 +424,7 @@ class NativeConeSolver:
             )
         if not self._handle:
             raise RuntimeError(
-                "pogs_native_cone_new failed (invalid cones or SDP requested)"
+                "pogs_native_cone_new failed (invalid cone specification)"
             )
 
     def solve(self, b, c, settings: Optional[SolverSettings] = None,
@@ -432,12 +469,12 @@ class NativeConeSolver:
             pass
 
 
-def solve_cone_native(A, b, c, Kx=(), Ky=(),
+def solve_cone_native(A, b, c, Kx=(), Ky=(), P=None,
                       settings: Optional[SolverSettings] = None, **kw) -> dict:
-    """One-shot native cone solve."""
+    """One-shot native cone solve (P selects the QP variant)."""
     if settings is None:
         settings = SolverSettings(**kw) if kw else SolverSettings()
-    solver = NativeConeSolver(A, Kx=Kx, Ky=Ky)
+    solver = NativeConeSolver(A, Kx=Kx, Ky=Ky, P=P)
     try:
         return solver.solve(b, c, settings)
     finally:

@@ -22,6 +22,7 @@ scenario batches (data-parallel axis; zero cross-talk).
 
 from __future__ import annotations
 
+import logging
 from typing import Optional, Sequence, Tuple, Union
 
 import numpy as np
@@ -35,7 +36,13 @@ def init_distributed(coordinator_address: Optional[str] = None,
     """Initialize multi-host JAX (idempotent). Returns the global device
     count.  On a single host this is a no-op; on a pod/multi-slice it wires
     jax.distributed so meshes span all hosts (collectives ride ICI within a
-    slice, DCN across slices)."""
+    slice, DCN across slices).
+
+    Re-initialization is tolerated (idempotent), but a genuine init failure
+    — unreachable coordinator, mismatched process counts — RAISES after
+    logging: a silently-degraded single-host solve on what the caller
+    believes is a pod would produce wrong shardings and wasted hardware.
+    """
     try:
         if num_processes is not None and num_processes > 1:
             jax.distributed.initialize(
@@ -45,8 +52,16 @@ def init_distributed(coordinator_address: Optional[str] = None,
             )
         elif coordinator_address is not None:
             jax.distributed.initialize(coordinator_address=coordinator_address)
-    except RuntimeError:
-        pass  # already initialized
+    except RuntimeError as exc:
+        if "already" in str(exc).lower():
+            pass  # idempotent re-init
+        else:
+            logging.getLogger(__name__).error(
+                "jax.distributed.initialize failed (coordinator=%s, "
+                "num_processes=%s, process_id=%s): %s",
+                coordinator_address, num_processes, process_id, exc,
+            )
+            raise
     return len(jax.devices())
 
 
@@ -74,6 +89,31 @@ def shard_matrix(A, mesh: Mesh, axis: str = "rows"):
     return jax.device_put(A, NamedSharding(mesh, P(axis, None)))
 
 
+def shard_matrix_cols(A, mesh: Mesh, axis: str = "rows"):
+    """Place A COLUMN-sharded over ``axis`` — the wide-A plan (SURVEY §7).
+
+    Under GSPMD the operation costs invert relative to the row plan:
+
+      * ``A @ x``   → local gemv over the column block + psum (one
+                      all-reduce of a length-m vector)
+      * ``A.T @ y`` → local gemv, result stays column-sharded (no comms)
+      * Gram trick  → for wide A the projector factors the m×m ``AAᵀ``,
+                      computed as a psum of local AᵢAᵢᵀ outer blocks
+
+    x-side vectors (x, e, g-params) shard with the columns; y-side vectors
+    replicate.  Pick this plan when n ≫ m (the all-reduced vector is the
+    short dimension)."""
+    return jax.device_put(A, NamedSharding(mesh, P(None, axis)))
+
+
+def auto_shard(A, mesh: Mesh, axis: str = "rows"):
+    """Shard A by its aspect ratio: rows when tall (m ≥ n), columns when
+    wide — so the psum'd vector in the hot matvec pair is always the SHORT
+    side, minimizing bytes over ICI per iteration."""
+    m, n = A.shape
+    return shard_matrix(A, mesh, axis) if m >= n else shard_matrix_cols(A, mesh, axis)
+
+
 def replicate(x, mesh: Mesh):
     """Place x fully replicated on the mesh."""
     return jax.device_put(x, NamedSharding(mesh, P()))
@@ -81,6 +121,10 @@ def replicate(x, mesh: Mesh):
 
 def row_sharding(mesh: Mesh, axis: str = "rows") -> NamedSharding:
     return NamedSharding(mesh, P(axis))
+
+
+def col_sharding(mesh: Mesh, axis: str = "rows") -> NamedSharding:
+    return NamedSharding(mesh, P(None, axis))
 
 
 def pad_rows_to(A, b, multiple: int):

@@ -235,10 +235,6 @@ class ConeSolver:
 
         then minimize c'x + t through the (correct) conic HSDE path."""
         n, m = self.n, self.m
-        if self.A.is_sparse:
-            raise NotImplementedError(
-                "quadratic objectives with sparse A are not supported yet"
-            )
         npdt = np.dtype(str(self.dtype))
         P = np.asarray(P, np.float64)
         w, V = np.linalg.eigh((P + P.T) / 2)
@@ -246,13 +242,41 @@ class ConeSolver:
         Lt = (np.sqrt(w[keep])[:, None] * V[:, keep].T)  # (r, n), P = Lt'Lt
         r = Lt.shape[0]
 
-        A_np = np.asarray(self._A_raw, np.float64)
         # Extended variable (x, t); extended rows: original m + SOC(r+2).
-        A_ext = np.zeros((m + r + 2, n + 1))
-        A_ext[:m, :n] = A_np
-        A_ext[m, n] = -1.0       # s0 = 1 + t
-        A_ext[m + 1, n] = -1.0   # s1 = -1 + t
-        A_ext[m + 2:, :n] = -np.sqrt(2.0) * Lt
+        if self.A.is_sparse:
+            # Sparse A + dense P (the reference supports this pairing via
+            # PogsConeQD over MatrixSparse, pogs_c.cpp:208-305): keep the
+            # extension sparse so the CGLS projector stays O(nnz).
+            import scipy.sparse as sp_mod
+
+            Araw = self._A_raw
+            if hasattr(Araw, "tocsr"):
+                A_csr = Araw.tocsr().astype(np.float64)
+            else:  # jax BCOO
+                ij = np.asarray(Araw.indices)
+                A_csr = sp_mod.coo_matrix(
+                    (np.asarray(Araw.data, np.float64), (ij[:, 0], ij[:, 1])),
+                    shape=(m, n),
+                ).tocsr()
+            t_rows = sp_mod.csr_matrix(
+                (np.array([-1.0, -1.0]),
+                 (np.array([0, 1]), np.array([n, n]))),
+                shape=(2, n + 1),
+            )
+            A_ext = sp_mod.vstack([
+                sp_mod.hstack([A_csr, sp_mod.csr_matrix((m, 1))]),
+                t_rows,
+                sp_mod.hstack([sp_mod.csr_matrix(-np.sqrt(2.0) * Lt),
+                               sp_mod.csr_matrix((r, 1))]),
+            ]).tocsr().astype(npdt)
+        else:
+            A_np = np.asarray(self._A_raw, np.float64)
+            A_ext = np.zeros((m + r + 2, n + 1))
+            A_ext[:m, :n] = A_np
+            A_ext[m, n] = -1.0       # s0 = 1 + t
+            A_ext[m + 1, n] = -1.0   # s1 = -1 + t
+            A_ext[m + 2:, :n] = -np.sqrt(2.0) * Lt
+            A_ext = A_ext.astype(npdt)
         b_ext = np.concatenate([np.asarray(b, np.float64),
                                 [1.0, -1.0], np.zeros(r)])
         c_ext = np.concatenate([np.asarray(c, np.float64), [1.0]])
@@ -263,7 +287,7 @@ class ConeSolver:
         sub = getattr(self, "_qp_sub", None)
         if sub is None or getattr(self, "_qp_sub_key", None) != sub_key:
             sub = ConeSolver(
-                A_ext.astype(npdt), Ky=Ky_ext, settings=settings,
+                A_ext, Ky=Ky_ext, settings=settings,
                 strategy=self.strategy, projector=self.projector,
                 dtype=self.dtype,
             )

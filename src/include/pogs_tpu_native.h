@@ -143,10 +143,12 @@ void pogs_native_sparse_free(PogsNativeSparse* s);
 
 /* ------------------------------------------------------------------ */
 /* Cone-form API (graph-form cone ADMM; counterpart of PogsConeD).     */
-/* Cones: ZERO=0, NON_NEG=1, NON_POS=2, SOC=3, EXP_PRIMAL=5,           */
-/* EXP_DUAL=6 (values match pogs_tpu.types.Cone).  SDP (=4) is NOT     */
-/* supported natively (as in the reference GPU backend); SDP problems  */
-/* route through the Python/TPU path.                                  */
+/* Cones: ZERO=0, NON_NEG=1, NON_POS=2, SOC=3, SDP=4, EXP_PRIMAL=5,    */
+/* EXP_DUAL=6 (values match pogs_tpu.types.Cone).  SDP blocks are      */
+/* svec-packed: column-major lower triangle with sqrt(2)-scaled        */
+/* off-diagonals; num_indices must be a triangular number d(d+1)/2.    */
+/* (Beyond the reference GPU backend, which omits SDP; matches the     */
+/* reference CPU's syevd path via a built-in Jacobi eigensolver.)      */
 /* ------------------------------------------------------------------ */
 
 typedef struct {
@@ -171,6 +173,24 @@ PogsNativeConeSolver* pogs_native_cone_sparse_new(
     const int64_t* indptr, const int64_t* indices, const double* data,
     const PogsNativeCone* Kx, size_t num_Kx,
     const PogsNativeCone* Ky, size_t num_Ky);
+
+/* Quadratic-objective variants:  min ½x'Px + c'x  s.t.  b - Ax in K_y.
+ * Counterparts of the reference's PogsConeQD/QS and PogsConeDirectQD/QS
+ * (pogs_c.h:167-243).  P is n x n (ord-major for the dense entry,
+ * row-major for the sparse one).  K_x must be empty — the quadratic
+ * x-prox composed with a cone projection is not an exact prox; the
+ * reference rejects the combination too (pogs.cpp:1941-1944).  Unlike
+ * the reference, whose empty-Kx QPs route to an HSDE its own code
+ * declares broken for QP (pogs.cpp:1510-1514), these entries use the
+ * graph-form cone ADMM with a cached Cholesky of P+rho*I and converge. */
+PogsNativeConeSolver* pogs_native_cone_qp_new(
+    int32_t ord, size_t m, size_t n, const double* A, const double* P,
+    const PogsNativeCone* Ky, size_t num_Ky);
+
+PogsNativeConeSolver* pogs_native_cone_qp_sparse_new(
+    size_t m, size_t n, size_t nnz,
+    const int64_t* indptr, const int64_t* indices, const double* data,
+    const double* P, const PogsNativeCone* Ky, size_t num_Ky);
 
 /* Solve for given (b, c); the equilibration/factorization and (with
  * settings->warm_start) the iterate persist in the handle. */

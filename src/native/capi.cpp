@@ -365,6 +365,18 @@ struct PogsNativeConeSolver {
   bool is_sparse = false;
   pn::ConeSetNative Kx, Ky;
 
+  // Quadratic objective (QP): min ½xᵀPx + cᵀx.  Counterpart of the
+  // reference's PogsConeQD/QS & Direct variants (pogs_c.h:167-243) — but
+  // solved through the graph-form cone ADMM whose quadratic x-prox
+  // (cached Cholesky of P+ρI, pogs.cpp:687-712) actually converges; the
+  // reference routes empty-Kx QPs to its HSDE, which its own code
+  // declares broken for QP (pogs.cpp:1510-1514).
+  bool has_qp = false;
+  std::vector<double> P;          // n x n, row-major, original space
+  std::vector<double> P_s;        // E P E (built at first solve)
+  std::vector<double> qp_factor;  // Cholesky of P_s + rho I
+  double qp_rho = -1.0;           // rho the factor was built for
+
   std::size_t m() const { return is_sparse ? sp.m : dense.m; }
   std::size_t n() const { return is_sparse ? sp.n : dense.n; }
   std::vector<double>& d() { return is_sparse ? sp.d : dense.d; }
@@ -402,8 +414,11 @@ bool load_cones(const PogsNativeCone* cones, size_t count, size_t dim,
   std::vector<bool> seen(dim, false);
   for (size_t k = 0; k < count; ++k) {
     const PogsNativeCone& c = cones[k];
-    if (c.cone == pn::kConeSdp) return false;  // not supported natively
     if (c.cone < 0 || c.cone > pn::kConeExpDual) return false;
+    // SDP blocks must have a triangular-number packed length (svec).
+    if (c.cone == pn::kConeSdp &&
+        pn::sdp_side_from_packed(c.num_indices) == 0)
+      return false;
     if ((c.cone == pn::kConeExpPrimal || c.cone == pn::kConeExpDual) &&
         c.num_indices != 3)
       return false;
@@ -471,6 +486,44 @@ extern "C" PogsNativeConeSolver* pogs_native_cone_sparse_new(
   return s;
 }
 
+extern "C" PogsNativeConeSolver* pogs_native_cone_qp_new(
+    int32_t ord, size_t m, size_t n, const double* A, const double* P,
+    const PogsNativeCone* Ky, size_t num_Ky) {
+  // QP variant: min ½xᵀPx + cᵀx s.t. b − Ax ∈ K_y (counterpart of
+  // PogsConeQD/PogsConeDirectQD, pogs_c.h:178-243).  K_x must be empty:
+  // composing the quadratic x-prox with a cone projection is not the
+  // exact prox of (quadratic + indicator); the reference rejects the
+  // combination for the same reason (pogs.cpp:1941-1944).
+  if (!P) return nullptr;
+  PogsNativeConeSolver* s =
+      pogs_native_cone_new(ord, m, n, A, nullptr, 0, Ky, num_Ky);
+  if (!s) return nullptr;
+  s->has_qp = true;
+  s->P.resize(n * n);
+  if (ord == POGS_NATIVE_ROW_MAJ) {
+    std::copy(P, P + n * n, s->P.begin());
+  } else {
+    for (size_t i = 0; i < n; ++i)
+      for (size_t j = 0; j < n; ++j) s->P[i * n + j] = P[j * n + i];
+  }
+  return s;
+}
+
+extern "C" PogsNativeConeSolver* pogs_native_cone_qp_sparse_new(
+    size_t m, size_t n, size_t nnz,
+    const int64_t* indptr, const int64_t* indices, const double* data,
+    const double* P, const PogsNativeCone* Ky, size_t num_Ky) {
+  // Sparse-A QP (CGLS projector) — the reference supports this pairing
+  // via PogsConeQD over MatrixSparse (pogs_c.cpp:208-305).
+  if (!P) return nullptr;
+  PogsNativeConeSolver* s = pogs_native_cone_sparse_new(
+      m, n, nnz, indptr, indices, data, nullptr, 0, Ky, num_Ky);
+  if (!s) return nullptr;
+  s->has_qp = true;
+  s->P.assign(P, P + n * n);
+  return s;
+}
+
 extern "C" int32_t pogs_native_cone_solve(
     PogsNativeConeSolver* s, const PogsNativeSettings* settings,
     const double* b, const double* c,
@@ -481,6 +534,8 @@ extern "C" int32_t pogs_native_cone_solve(
 
   // Scale by the equilibration (pogs.cpp:1463-1475, 723-726) and normalize
   // c to unit norm, folding the scale into the optval (pogs.cpp:738-755).
+  // QP keeps c unnormalized: rescaling c but not P would change the
+  // optimizer, not just the objective scale.
   std::vector<double> b_s(m), c_n(n);
   for (std::size_t i = 0; i < m; ++i) b_s[i] = b[i] * s->d()[i];
   double c_nrm = 0.0;
@@ -489,8 +544,17 @@ extern "C" int32_t pogs_native_cone_solve(
     c_nrm += c_n[j] * c_n[j];
   }
   c_nrm = std::sqrt(c_nrm);
-  const double c_scale = c_nrm > 0 ? 1.0 / std::max(c_nrm, 1e-30) : 1.0;
+  const double c_scale =
+      (!s->has_qp && c_nrm > 0) ? 1.0 / std::max(c_nrm, 1e-30) : 1.0;
   for (auto& v : c_n) v *= c_scale;
+
+  if (s->has_qp && s->P_s.empty()) {
+    // P ← E P E (pogs.cpp:727-736), cached: e is fixed after init.
+    s->P_s.resize(n * n);
+    for (std::size_t i = 0; i < n; ++i)
+      for (std::size_t j = 0; j < n; ++j)
+        s->P_s[i * n + j] = s->P[i * n + j] * s->e()[i] * s->e()[j];
+  }
 
   pn::Settings st = to_settings(settings);
   st.use_exact_tol = true;
@@ -503,11 +567,33 @@ extern "C" int32_t pogs_native_cone_solve(
   pn::ProxCallbacks prox;
   const pn::ConeSetNative& Kx = s->Kx;
   const pn::ConeSetNative& Ky = s->Ky;
-  prox.prox_x = [&](const double* v, double rho, double* out) {
-    // Linear x-step + K_x projection (pogs.cpp:687-721).
-    for (std::size_t j = 0; j < n; ++j) out[j] = v[j] - c_n[j] / rho;
-    Kx.project(out);
-  };
+  if (s->has_qp) {
+    prox.prox_x = [s, &c_n, n](const double* v, double rho, double* out) {
+      // Quadratic x-step: (P_s + ρI) x = ρv − c (pogs.cpp:687-712);
+      // the Cholesky factor is cached and rebuilt only on ρ change.
+      if (rho != s->qp_rho) {
+        s->qp_factor = s->P_s;
+        for (std::size_t j = 0; j < n; ++j) s->qp_factor[j * n + j] += rho;
+        if (!pn::cholesky(n, s->qp_factor.data())) {
+          // P + ρI SPD by construction unless P has NaNs; fall back to a
+          // heavily-regularized identity step rather than crash.
+          s->qp_factor.assign(n * n, 0.0);
+          for (std::size_t j = 0; j < n; ++j)
+            s->qp_factor[j * n + j] = std::sqrt(rho);
+        }
+        s->qp_rho = rho;
+      }
+      std::vector<double> rhs(n);
+      for (std::size_t j = 0; j < n; ++j) rhs[j] = rho * v[j] - c_n[j];
+      pn::cholesky_solve(n, s->qp_factor.data(), rhs.data(), out);
+    };
+  } else {
+    prox.prox_x = [&](const double* v, double rho, double* out) {
+      // Linear x-step + K_x projection (pogs.cpp:687-721).
+      for (std::size_t j = 0; j < n; ++j) out[j] = v[j] - c_n[j] / rho;
+      Kx.project(out);
+    };
+  }
   prox.prox_y = [&](const double* v, double /*rho*/, double* out) {
     // y12 = b - Pi_{K_y}(b - v).
     for (std::size_t i = 0; i < m; ++i) out[i] = b_s[i] - v[i];
@@ -517,6 +603,18 @@ extern "C" int32_t pogs_native_cone_solve(
   prox.objective = [&](const double* x12, const double* /*y12*/) {
     double acc = 0.0;
     for (std::size_t j = 0; j < n; ++j) acc += c_n[j] * x12[j];
+    if (s->has_qp) {
+      // + ½ x12ᵀ P_s x12 (equals ½ xᵀPx in the original space: P_s = EPE
+      // and x = x12 ∘ e).
+      double quad = 0.0;
+      for (std::size_t i = 0; i < n; ++i) {
+        double row = 0.0;
+        for (std::size_t j = 0; j < n; ++j)
+          row += s->P_s[i * n + j] * x12[j];
+        quad += x12[i] * row;
+      }
+      acc += 0.5 * quad;
+    }
     return acc / c_scale;
   };
 

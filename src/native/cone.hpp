@@ -7,10 +7,15 @@
 // cone types/validation, :311-346 separable+SOC, :94-294 exp cones;
 // cone objective src/cpu/pogs.cpp:642-785).
 //
-// The SDP cone is NOT implemented in the native runtime (it needs a
-// symmetric eigensolver; the reference's GPU backend omits it too,
-// prox_lib_cone.h:599-603).  SDP problems route through the Python/TPU
-// path (batched eigh).
+// The SDP cone IS implemented natively (beyond the reference GPU backend,
+// which omits it, prox_lib_cone.h:599-603; parity with reference CPU's
+// LAPACK-syevd path, prox_lib_cone.h:349-435) via a dependency-free
+// cyclic-Jacobi eigensolver (linalg.hpp::jacobi_eigh).  Packing is
+// column-major lower-triangular in the SVEC convention: off-diagonal
+// entries carry a sqrt(2) weight so the packed l2 norm equals the matrix
+// Frobenius norm and the eigenvalue clamp is the exact Euclidean
+// projection (the Python layer documents the same choice,
+// pogs_tpu/cones/projections.py::project_sdp_packed).
 #pragma once
 
 #include <algorithm>
@@ -19,6 +24,8 @@
 #include <limits>
 #include <vector>
 
+#include "linalg.hpp"
+
 namespace pogs_native {
 
 enum ConeKind : std::int32_t {
@@ -26,7 +33,7 @@ enum ConeKind : std::int32_t {
   kConeNonNeg = 1,
   kConeNonPos = 2,
   kConeSoc = 3,
-  kConeSdp = 4,        // rejected by the native runtime
+  kConeSdp = 4,        // svec-packed lower-tri, column-major
   kConeExpPrimal = 5,
   kConeExpDual = 6,
 };
@@ -115,6 +122,49 @@ inline void project_exp_primal(const double* v, double* out) {
   out[0] = best[0]; out[1] = best[1]; out[2] = best[2];
 }
 
+// --------------------------------------------------------------------------
+// PSD cone projection in svec coordinates.
+//
+// packed: length L = d(d+1)/2, column-major lower triangle, off-diagonals
+// scaled by sqrt(2).  Unpack -> symmetric d x d, eigendecompose (cyclic
+// Jacobi), clamp eigenvalues at 0, reconstruct, repack.  L -> d via the
+// triangular-number inverse.
+// --------------------------------------------------------------------------
+
+inline std::size_t sdp_side_from_packed(std::size_t L) {
+  const std::size_t d =
+      std::size_t((std::sqrt(8.0 * double(L) + 1.0) - 1.0) / 2.0 + 0.5);
+  return d * (d + 1) / 2 == L ? d : 0;
+}
+
+inline void project_sdp_svec(double* packed, std::size_t L) {
+  const std::size_t d = sdp_side_from_packed(L);
+  if (d == 0) return;
+  const double inv_rt2 = 1.0 / std::sqrt(2.0);
+  std::vector<double> S(d * d), V(d * d), lam(d);
+  // Unpack (column-major lower tri): [a11, a21, .., ad1, a22, a32, ...].
+  std::size_t idx = 0;
+  for (std::size_t col = 0; col < d; ++col) {
+    for (std::size_t row = col; row < d; ++row, ++idx) {
+      const double v = row == col ? packed[idx] : packed[idx] * inv_rt2;
+      S[row * d + col] = v;
+      S[col * d + row] = v;
+    }
+  }
+  jacobi_eigh(d, S.data(), V.data(), lam.data());
+  for (auto& l : lam) l = std::max(l, 0.0);
+  // Repack X+ = V diag(lam) V^T, lower tri only.
+  idx = 0;
+  for (std::size_t col = 0; col < d; ++col) {
+    for (std::size_t row = col; row < d; ++row, ++idx) {
+      double acc = 0.0;
+      for (std::size_t k = 0; k < d; ++k)
+        acc += V[row * d + k] * lam[k] * V[col * d + k];
+      packed[idx] = row == col ? acc : acc * std::sqrt(2.0);
+    }
+  }
+}
+
 // Moreau decomposition: Pi_{K*}(v) = v + Pi_K(-v) (prox_lib_cone.h:282-294).
 inline void project_exp_dual(const double* v, double* out) {
   double neg[3] = {-v[0], -v[1], -v[2]};
@@ -183,8 +233,17 @@ struct ConeSetNative {
           for (int k = 0; k < 3; ++k) v[c.indices[k]] = outp[k];
           break;
         }
+        case kConeSdp: {
+          std::vector<double> packed(c.indices.size());
+          for (std::size_t k = 0; k < c.indices.size(); ++k)
+            packed[k] = v[c.indices[k]];
+          project_sdp_svec(packed.data(), packed.size());
+          for (std::size_t k = 0; k < c.indices.size(); ++k)
+            v[c.indices[k]] = packed[k];
+          break;
+        }
         default:
-          break;  // SDP rejected upstream
+          break;  // unreachable: kinds validated at load
       }
     }
   }

@@ -152,6 +152,78 @@ void cholesky_solve(size_t n, const T* L, const T* b, T* x) {
 }
 
 // ---------------------------------------------------------------------------
+// Symmetric eigendecomposition via cyclic Jacobi rotations.
+//
+// Dependency-free replacement for LAPACK syevd at the block sizes the SDP
+// cone sees (reference projects SDP blocks with syevd,
+// prox_lib_cone.h:349-435; typical blocks are tens of rows).  Cyclic
+// sweeps annihilate every off-diagonal pair until the off-diagonal
+// Frobenius norm falls below eps * ||A||_F; convergence is quadratic, and
+// 8-15 sweeps suffice at double precision for n up to a few hundred.
+//
+// In:  S (n x n, row-major, symmetric; DESTROYED — becomes diagonal).
+// Out: lam[n] eigenvalues, V (n x n, row-major) with columns V(:,k) the
+//      eigenvectors:  S = V diag(lam) V^T.
+// ---------------------------------------------------------------------------
+
+template <typename T>
+void jacobi_eigh(size_t n, T* S, T* V, T* lam) {
+  // V <- I.
+  for (size_t i = 0; i < n; ++i)
+    for (size_t j = 0; j < n; ++j) V[i * n + j] = T(i == j ? 1 : 0);
+  if (n == 0) return;
+  if (n == 1) { lam[0] = S[0]; return; }
+
+  double fro2 = 0.0;
+  for (size_t i = 0; i < n * n; ++i) fro2 += double(S[i]) * double(S[i]);
+  const double tol2 = std::max(fro2, 1e-300) * 1e-28;  // (eps*||A||_F)^2-ish
+
+  const int kMaxSweeps = 30;
+  for (int sweep = 0; sweep < kMaxSweeps; ++sweep) {
+    double off2 = 0.0;
+    for (size_t p = 0; p < n; ++p)
+      for (size_t q = p + 1; q < n; ++q)
+        off2 += 2.0 * double(S[p * n + q]) * double(S[p * n + q]);
+    if (off2 <= tol2) break;
+    for (size_t p = 0; p < n - 1; ++p) {
+      for (size_t q = p + 1; q < n; ++q) {
+        const double apq = double(S[p * n + q]);
+        if (apq == 0.0) continue;
+        const double app = double(S[p * n + p]);
+        const double aqq = double(S[q * n + q]);
+        // Stable rotation (Golub & Van Loan §8.5.2).
+        const double theta = (aqq - app) / (2.0 * apq);
+        const double t = (theta >= 0 ? 1.0 : -1.0) /
+                         (std::abs(theta) + std::sqrt(theta * theta + 1.0));
+        const double c = 1.0 / std::sqrt(t * t + 1.0);
+        const double s = t * c;
+        // Rows/cols p,q of S.
+        for (size_t k = 0; k < n; ++k) {
+          const double skp = double(S[k * n + p]);
+          const double skq = double(S[k * n + q]);
+          S[k * n + p] = T(c * skp - s * skq);
+          S[k * n + q] = T(s * skp + c * skq);
+        }
+        for (size_t k = 0; k < n; ++k) {
+          const double spk = double(S[p * n + k]);
+          const double sqk = double(S[q * n + k]);
+          S[p * n + k] = T(c * spk - s * sqk);
+          S[q * n + k] = T(s * spk + c * sqk);
+        }
+        // Accumulate V (columns rotate like the columns of S).
+        for (size_t k = 0; k < n; ++k) {
+          const double vkp = double(V[k * n + p]);
+          const double vkq = double(V[k * n + q]);
+          V[k * n + p] = T(c * vkp - s * vkq);
+          V[k * n + q] = T(s * vkp + c * vkq);
+        }
+      }
+    }
+  }
+  for (size_t i = 0; i < n; ++i) lam[i] = S[i * n + i];
+}
+
+// ---------------------------------------------------------------------------
 // CSR sparse matrix (for the indirect/CGLS path).
 // ---------------------------------------------------------------------------
 

@@ -5,12 +5,15 @@
 // with closed-form soft-threshold answers).  Deeper cross-checks against
 // the TPU solver live in tests/test_native.py.
 
+#include <algorithm>
 #include <cmath>
 #include <cstdio>
 #include <cstdlib>
 #include <vector>
 
 #include "../include/pogs_tpu_native.h"
+#include "cone.hpp"
+#include "linalg.hpp"
 
 static int failures = 0;
 
@@ -241,12 +244,86 @@ static void test_cone_lp() {
   CHECK_NEAR(x[1], 0.0, 5e-3);
 }
 
+static void test_jacobi_eigh() {
+  // Known spectrum: S = V diag(5, 2, -1) V^T for a random orthogonal V
+  // built from a fixed rotation composition.
+  const size_t n = 3;
+  // Hand-built symmetric matrix with eigenvalues {6, 3, 1}:
+  // S = Q diag(6,3,1) Q^T, Q = rotation by 0.3 in (0,1) then 0.7 in (1,2).
+  double c1 = std::cos(0.3), s1 = std::sin(0.3);
+  double c2 = std::cos(0.7), s2 = std::sin(0.7);
+  double Q[9] = {c1, -s1, 0, s1 * c2, c1 * c2, -s2, s1 * s2, c1 * s2, c2};
+  double D[3] = {6, 3, 1};
+  double S[9], V[9], lam[3];
+  for (int i = 0; i < 3; ++i)
+    for (int j = 0; j < 3; ++j) {
+      double acc = 0;
+      for (int k = 0; k < 3; ++k) acc += Q[i * 3 + k] * D[k] * Q[j * 3 + k];
+      S[i * 3 + j] = acc;
+    }
+  pogs_native::jacobi_eigh(n, S, V, lam);
+  std::sort(lam, lam + 3);
+  CHECK_NEAR(lam[0], 1.0, 1e-10);
+  CHECK_NEAR(lam[1], 3.0, 1e-10);
+  CHECK_NEAR(lam[2], 6.0, 1e-10);
+}
+
+static void test_sdp_projection() {
+  // Project svec(diag(2, -3)) onto the PSD cone -> svec(diag(2, 0)).
+  double packed[3] = {2.0, 0.0, -3.0};  // [a11, sqrt2*a21, a22]
+  pogs_native::project_sdp_svec(packed, 3);
+  CHECK_NEAR(packed[0], 2.0, 1e-10);
+  CHECK_NEAR(packed[1], 0.0, 1e-10);
+  CHECK_NEAR(packed[2], 0.0, 1e-10);
+  // Idempotence on a PSD matrix: X = [[2,1],[1,2]] (eigs 1 and 3).
+  double psd[3] = {2.0, std::sqrt(2.0), 2.0};
+  pogs_native::project_sdp_svec(psd, 3);
+  CHECK_NEAR(psd[0], 2.0, 1e-10);
+  CHECK_NEAR(psd[1], std::sqrt(2.0), 1e-10);
+  CHECK_NEAR(psd[2], 2.0, 1e-10);
+}
+
+static void test_cone_qp() {
+  // min ½x'Px + c'x s.t. x free (Ky empty on a 1-row dummy constraint
+  // that is always satisfied: b - 0·x >= 0). Optimum: x = -P^{-1}c.
+  const size_t m = 1, n = 2;
+  double A[2] = {0.0, 0.0};
+  double P[4] = {2.0, 0.0, 0.0, 4.0};
+  double b[1] = {1.0};
+  double c[2] = {-2.0, -4.0};  // x* = (1, 1), optval = ½(2+4) - 6 = -3
+  PogsNativeCone ky[1];
+  int64_t idx[1] = {0};
+  ky[0].cone = 1;  // NON_NEG
+  ky[0].indices = idx;
+  ky[0].num_indices = 1;
+  PogsNativeConeSolver* s =
+      pogs_native_cone_qp_new(POGS_NATIVE_ROW_MAJ, m, n, A, P, ky, 1);
+  CHECK(s != nullptr);
+  PogsNativeSettings st;
+  pogs_native_settings_default(&st);
+  st.abs_tol = 1e-7;
+  st.rel_tol = 1e-7;
+  st.max_iter = 20000;
+  double x[n], y[m];
+  PogsNativeInfo info;
+  const int32_t status =
+      pogs_native_cone_solve(s, &st, b, c, x, y, nullptr, nullptr, &info);
+  pogs_native_cone_free(s);
+  CHECK(status == POGS_NATIVE_SUCCESS);
+  CHECK_NEAR(x[0], 1.0, 1e-3);
+  CHECK_NEAR(x[1], 1.0, 1e-3);
+  CHECK_NEAR(info.optval, -3.0, 1e-3);
+}
+
 int main() {
   test_identity_lasso();
   test_random_lasso_kkt();
   test_warm_start_path();
   test_sparse_matches_dense();
   test_cone_lp();
+  test_jacobi_eigh();
+  test_sdp_projection();
+  test_cone_qp();
   if (failures == 0) {
     std::printf("native smoke tests: ALL PASSED\n");
     return 0;

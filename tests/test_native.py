@@ -164,13 +164,164 @@ def test_cone_socp_native_matches_python(native):
     assert out_n["optval"] == pytest.approx(out_p["optval"], rel=1e-3, abs=1e-3)
 
 
-def test_cone_native_rejects_sdp(native):
+def test_cone_native_rejects_bad_sdp_length(native):
+    """SDP blocks must be svec-packed: num_indices a triangular number."""
+    from pogs_tpu.types import Cone, ConeConstraint
+
+    A = np.eye(4)
+    Ky = [ConeConstraint(Cone.SDP, [0, 1, 2, 3])]  # 4 is not d(d+1)/2
+    with pytest.raises(RuntimeError):
+        native.NativeConeSolver(A, Ky=Ky)
+
+
+def _svec_pack(S):
+    """Column-major lower-tri svec packing (√2-scaled off-diagonals)."""
+    d = S.shape[0]
+    out = []
+    for col in range(d):
+        for row in range(col, d):
+            out.append(S[row, col] * (1.0 if row == col else np.sqrt(2.0)))
+    return np.asarray(out)
+
+
+def test_cone_native_sdp_min_eig(native):
+    """min ⟨C,X⟩ s.t. tr X = 1, X ⪰ 0 → λ_min(C).  Exercises the native
+    Jacobi-eigensolver SDP projection (beyond the reference GPU, which
+    omits SDP; parity with reference CPU syevd, prox_lib_cone.h:349-435)."""
+    from pogs_tpu.types import Cone, ConeConstraint
+
+    rng = np.random.default_rng(31)
+    d = 5
+    L = d * (d + 1) // 2
+    C = rng.standard_normal((d, d))
+    C = (C + C.T) / 2
+    c = _svec_pack(C)
+    tr_row = _svec_pack(np.eye(d))
+    # svec(I) has zero off-diagonals, so ⟨tr_row, x⟩ = tr X exactly.
+    A = tr_row[None, :]
+    b = np.array([1.0])
+    Kx = [ConeConstraint(Cone.SDP, range(L))]
+    Ky = [ConeConstraint(Cone.ZERO, [0])]
+    st = SolverSettings(abs_tol=1e-6, rel_tol=1e-6, max_iter=20000)
+    res = native.NativeConeSolver(A, Kx=Kx, Ky=Ky).solve(b, c, settings=st)
+    assert res["status"] == Status.SUCCESS
+    expect = float(np.linalg.eigvalsh(C).min())
+    assert res["optval"] == pytest.approx(expect, abs=1e-3, rel=1e-3)
+
+
+def test_native_sdp_solve_matches_python(native):
+    """Cross-implementation: the native SDP cone solve == the Python
+    ConeSolver (assume_svec=True) on a random linear-SDP with random
+    symmetric objective and trace normalization."""
+    from pogs_tpu.api.cone import solve_cone
+    from pogs_tpu.types import Cone, ConeConstraint
+
+    rng = np.random.default_rng(57)
+    d = 4
+    L = d * (d + 1) // 2
+    C = rng.standard_normal((d, d))
+    C = (C + C.T) / 2
+    c = _svec_pack(C)
+    # Two linear constraints: tr X = 1 and <B, X> = 0.3 (random symmetric B).
+    B = rng.standard_normal((d, d))
+    B = (B + B.T) / 2
+    A = np.vstack([_svec_pack(np.eye(d)), _svec_pack(B)])
+    b = np.array([1.0, 0.3])
+    Kx = [ConeConstraint(Cone.SDP, range(L))]
+    Ky = [ConeConstraint(Cone.ZERO, [0, 1])]
+    st = SolverSettings(abs_tol=1e-6, rel_tol=1e-6, max_iter=40000)
+    res_nat = native.NativeConeSolver(A, Kx=Kx, Ky=Ky).solve(b, c, settings=st)
+    res_py = solve_cone(A, b, c, Kx=Kx, Ky=Ky, dtype=np.float64,
+                        abs_tol=1e-6, rel_tol=1e-6, max_iter=40000,
+                        assume_svec=True)
+    assert res_nat["status"] == Status.SUCCESS
+    assert res_py["status"] == 0
+    assert res_nat["optval"] == pytest.approx(res_py["optval"],
+                                              rel=1e-3, abs=1e-3)
+    np.testing.assert_allclose(res_nat["x"], res_py["x"], atol=5e-3)
+
+
+def test_native_qp_known_optimum(native):
+    """Native QP entries (counterpart of PogsConeQD/PogsConeDirectQD,
+    pogs_c.h:167-243): dense and sparse-A QPs against KKT-constructed
+    analytic optima, and agreement with the Python QP path."""
+    from pogs_tpu.api.cone import solve_cone
+    from pogs_tpu.types import Cone, ConeConstraint
+
+    rng = np.random.default_rng(83)
+    m, n = 40, 20
+    A = rng.standard_normal((m, n))
+    M = rng.standard_normal((n, n))
+    P = M @ M.T / n + 0.5 * np.eye(n)
+    xstar = rng.standard_normal(n)
+    act = rng.permutation(m)[: n // 2]
+    mask = np.zeros(m, dtype=bool)
+    mask[act] = True
+    ystar = np.where(mask, np.abs(rng.standard_normal(m)) + 0.5, 0.0)
+    sstar = np.where(mask, 0.0, np.abs(rng.standard_normal(m)) + 0.5)
+    b = A @ xstar + sstar
+    c = -(P @ xstar) - A.T @ ystar
+    opt = float(0.5 * xstar @ P @ xstar + c @ xstar)
+    Ky = [ConeConstraint(Cone.NON_NEG, np.arange(m))]
+    st = SolverSettings(abs_tol=1e-6, rel_tol=1e-6, max_iter=20000)
+
+    res = native.NativeConeSolver(A, Ky=Ky, P=P).solve(b, c, settings=st)
+    assert res["status"] == Status.SUCCESS
+    assert res["optval"] == pytest.approx(opt, rel=1e-3, abs=1e-3)
+
+    res_py = solve_cone(A, b, c, Kx=(), Ky=Ky, P=P, dtype=np.float64,
+                        abs_tol=1e-6, rel_tol=1e-6, max_iter=20000)
+    assert res_py["status"] == 0
+    assert res["optval"] == pytest.approx(res_py["optval"], rel=1e-3,
+                                          abs=1e-3)
+
+    scipy_sparse = pytest.importorskip("scipy.sparse")
+    As = scipy_sparse.csr_matrix(A * (np.abs(A) > 0.3))
+    b2 = As @ xstar + sstar
+    c2 = -(P @ xstar) - As.T @ ystar
+    opt2 = float(0.5 * xstar @ P @ xstar + c2 @ xstar)
+    res2 = native.NativeConeSolver(As, Ky=Ky, P=P).solve(b2, c2, settings=st)
+    assert res2["status"] == Status.SUCCESS
+    assert res2["optval"] == pytest.approx(opt2, rel=1e-3, abs=1e-3)
+
+
+def test_native_qp_rejects_kx(native):
     from pogs_tpu.types import Cone, ConeConstraint
 
     A = np.eye(3)
-    Ky = [ConeConstraint(Cone.SDP, [0, 1, 2])]
-    with pytest.raises(RuntimeError, match="SDP"):
-        native.NativeConeSolver(A, Ky=Ky)
+    P = np.eye(3)
+    Kx = [ConeConstraint(Cone.NON_NEG, [0, 1, 2])]
+    with pytest.raises(ValueError, match="not supported"):
+        native.NativeConeSolver(A, Kx=Kx, P=P)
+
+
+def test_python_sparse_qp_known_optimum():
+    """VERDICT item 5: sparse-A QP through the Python path (epigraph-SOC
+    reformulation with a sparse extension matrix)."""
+    scipy_sparse = pytest.importorskip("scipy.sparse")
+    from pogs_tpu.api.cone import solve_cone
+    from pogs_tpu.types import Cone, ConeConstraint
+
+    rng = np.random.default_rng(91)
+    m, n = 40, 20
+    A = rng.standard_normal((m, n)) * (np.abs(rng.standard_normal((m, n))) > 0.5)
+    As = scipy_sparse.csr_matrix(A)
+    M = rng.standard_normal((n, n))
+    P = M @ M.T / n + 0.5 * np.eye(n)
+    xstar = rng.standard_normal(n)
+    act = rng.permutation(m)[: n // 2]
+    mask = np.zeros(m, dtype=bool)
+    mask[act] = True
+    ystar = np.where(mask, np.abs(rng.standard_normal(m)) + 0.5, 0.0)
+    sstar = np.where(mask, 0.0, np.abs(rng.standard_normal(m)) + 0.5)
+    b = A @ xstar + sstar
+    c = -(P @ xstar) - A.T @ ystar
+    opt = float(0.5 * xstar @ P @ xstar + c @ xstar)
+    Ky = [ConeConstraint(Cone.NON_NEG, np.arange(m))]
+    r = solve_cone(As, b, c, Kx=(), Ky=Ky, P=P, dtype=np.float64,
+                   abs_tol=1e-5, rel_tol=1e-5, max_iter=20000)
+    assert r["status"] == 0
+    assert r["optval"] == pytest.approx(opt, rel=1e-3, abs=1e-3)
 
 
 def test_cone_exp_native(native):

@@ -236,3 +236,138 @@ def test_batched_cone_large_batch_reliability():
     out = batched_cone_solve(A, bb, c, [ConeConstraint(Cone.SOC, range(nc + 1))],
                              settings=st)
     assert int(jnp.sum(out["status"] != 0)) == 0
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions (VERDICT items 7/10): wide-A column plan, collective-
+# structure assertions on lowered HLO, adversarial shardings, and
+# init_distributed failure surfacing.
+# ---------------------------------------------------------------------------
+
+def _count_collective(txt: str, name: str) -> int:
+    import re
+
+    return len(re.findall(rf"{name}(?:\.\d+)?\(", txt))
+
+
+def test_wide_A_column_sharded_solve(mesh8):
+    """Wide A column-sharded (the P(None,'rows') plan) == unsharded solve."""
+    from pogs_tpu.parallel.mesh import shard_matrix_cols
+    from pogs_tpu.solver.graph import GraphFormSolver
+
+    m, n = 24, 64
+    A, b, lam = _problem(m, n, seed=11)
+    f = FunctionVector(Function.SQUARE, m, b=b, dtype=jnp.float32)
+    g = FunctionVector(Function.ABS, n, c=lam, dtype=jnp.float32)
+    st = SolverSettings(abs_tol=1e-5, rel_tol=1e-5, use_fused=False)
+
+    res_ref = GraphFormSolver(A, dtype=jnp.float32, settings=st).solve(f, g)
+    A_sh = shard_matrix_cols(jnp.asarray(A), mesh8)
+    assert A_sh.sharding.spec == P(None, "rows")
+    res_sh = GraphFormSolver(A_sh, dtype=jnp.float32, settings=st).solve(f, g)
+
+    assert res_ref.status == Status.SUCCESS
+    assert res_sh.status == Status.SUCCESS
+    assert int(res_sh.final_iter) == int(res_ref.final_iter)
+    np.testing.assert_allclose(np.asarray(res_sh.x), np.asarray(res_ref.x),
+                               atol=5e-4)
+
+
+def test_auto_shard_picks_plan(mesh8):
+    from pogs_tpu.parallel.mesh import auto_shard
+
+    tall = auto_shard(jnp.ones((64, 8)), mesh8)
+    wide = auto_shard(jnp.ones((8, 64)), mesh8)
+    assert tall.sharding.spec == P("rows", None)
+    assert wide.sharding.spec == P(None, "rows")
+
+
+def test_collective_structure_row_plan(mesh8):
+    """Row plan cost model, asserted on the LOWERED HLO (no hardware
+    needed): Aᵀy = one all-reduce of a length-n vector; A@x = zero
+    collectives (y stays row-sharded)."""
+    m, n = 64, 16
+    A_sh = jax.device_put(jnp.ones((m, n)), NamedSharding(mesh8, P("rows", None)))
+    y_sh = jax.device_put(jnp.ones(m), NamedSharding(mesh8, P("rows")))
+    x_rep = jax.device_put(jnp.ones(n), NamedSharding(mesh8, P()))
+
+    rmv = jax.jit(lambda A, y: A.T @ y, out_shardings=NamedSharding(mesh8, P()))
+    txt = rmv.lower(A_sh, y_sh).compile().as_text()
+    assert _count_collective(txt, "all-reduce") == 1
+    assert _count_collective(txt, "all-gather") == 0
+
+    mv = jax.jit(lambda A, x: A @ x,
+                 out_shardings=NamedSharding(mesh8, P("rows")))
+    txt = mv.lower(A_sh, x_rep).compile().as_text()
+    assert _count_collective(txt, "all-reduce") == 0
+    assert _count_collective(txt, "all-gather") == 0
+
+
+def test_collective_structure_col_plan(mesh8):
+    """Column plan (wide A): A@x = one all-reduce of length m; Aᵀy free."""
+    m, n = 16, 64
+    A_sh = jax.device_put(jnp.ones((m, n)), NamedSharding(mesh8, P(None, "rows")))
+    x_sh = jax.device_put(jnp.ones(n), NamedSharding(mesh8, P("rows")))
+    y_rep = jax.device_put(jnp.ones(m), NamedSharding(mesh8, P()))
+
+    mv = jax.jit(lambda A, x: A @ x, out_shardings=NamedSharding(mesh8, P()))
+    txt = mv.lower(A_sh, x_sh).compile().as_text()
+    assert _count_collective(txt, "all-reduce") == 1
+
+    rmv = jax.jit(lambda A, y: A.T @ y,
+                  out_shardings=NamedSharding(mesh8, P("rows")))
+    txt = rmv.lower(A_sh, y_rep).compile().as_text()
+    assert _count_collective(txt, "all-reduce") == 0
+
+
+def test_collective_structure_residual_norms(mesh8):
+    """Distributed residual norm = partial reduction + ONE all-reduce."""
+    y_sh = jax.device_put(jnp.ones(64), NamedSharding(mesh8, P("rows")))
+    nrm = jax.jit(lambda y: jnp.sqrt(jnp.sum(y * y)),
+                  out_shardings=NamedSharding(mesh8, P()))
+    txt = nrm.lower(y_sh).compile().as_text()
+    assert _count_collective(txt, "all-reduce") == 1
+
+
+def test_adversarial_sharding_still_correct(mesh8):
+    """Force the WRONG plan (column-shard a tall A): GSPMD must still
+    produce the identical solve — plans change cost, never semantics."""
+    from pogs_tpu.parallel.mesh import shard_matrix_cols
+    from pogs_tpu.solver.graph import GraphFormSolver
+
+    m, n = 64, 16
+    A, b, lam = _problem(m, n, seed=13)
+    f = FunctionVector(Function.SQUARE, m, b=b, dtype=jnp.float32)
+    g = FunctionVector(Function.ABS, n, c=lam, dtype=jnp.float32)
+    st = SolverSettings(abs_tol=1e-5, rel_tol=1e-5, use_fused=False)
+
+    res_ref = GraphFormSolver(A, dtype=jnp.float32, settings=st).solve(f, g)
+    A_bad = shard_matrix_cols(jnp.asarray(A), mesh8)  # tall A, column plan
+    res_bad = GraphFormSolver(A_bad, dtype=jnp.float32, settings=st).solve(f, g)
+
+    assert res_bad.status == Status.SUCCESS
+    assert int(res_bad.final_iter) == int(res_ref.final_iter)
+    np.testing.assert_allclose(np.asarray(res_bad.x), np.asarray(res_ref.x),
+                               atol=5e-4)
+
+
+def test_init_distributed_surfaces_failure(monkeypatch):
+    """Genuine multi-host init failures must raise (after logging), not
+    silently degrade to single-host; idempotent re-init stays silent."""
+    from pogs_tpu.parallel import mesh as mesh_mod
+
+    def boom(**kw):
+        raise RuntimeError("coordinator unreachable at 10.0.0.1:1234")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    with pytest.raises(RuntimeError, match="coordinator unreachable"):
+        mesh_mod.init_distributed(coordinator_address="10.0.0.1:1234",
+                                  num_processes=2, process_id=0)
+
+    def already(**kw):
+        raise RuntimeError("jax.distributed.initialize has already been called")
+
+    monkeypatch.setattr(jax.distributed, "initialize", already)
+    n = mesh_mod.init_distributed(coordinator_address="10.0.0.1:1234",
+                                  num_processes=2, process_id=0)
+    assert n == len(jax.devices())
