@@ -1,0 +1,65 @@
+"""Real-data & regression tiers (fast subset of
+benchmarks/real_data_benchmark.py; VERDICT round-1 item 5).
+
+- every vendored Maros–Mészáros QP against its PUBLISHED optimum AND an
+  independent scipy-SLSQP solve of the same data (so a transcription
+  error in the vendored data cannot hide);
+- one real-dataset problem (diabetes lasso) scored against sklearn's
+  coordinate-descent solver by canonical objective;
+- the structured-regression expected-optima file stays consistent.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from benchmarks import maros_meszaros as mm
+
+pytest.importorskip("scipy.optimize")
+
+
+@pytest.mark.parametrize("prob", mm.problems(), ids=lambda p: p["name"])
+def test_maros_meszaros_published_optimum(prob):
+    slsqp = mm.solve_with_slsqp(prob)
+    # Vendored data sanity: independent solver reproduces the published value.
+    assert slsqp == pytest.approx(prob["optval"], rel=1e-6, abs=1e-6)
+    r = mm.solve_with_pogs_tpu(prob)
+    assert r["status"] == 0
+    assert r["objective"] == pytest.approx(prob["optval"], rel=1e-4, abs=1e-4)
+
+
+def test_diabetes_lasso_vs_sklearn():
+    sklearn_ds = pytest.importorskip("sklearn.datasets")
+    import sklearn.linear_model as lm
+
+    from pogs_tpu.api.graph import solve_lasso
+
+    db = sklearn_ds.load_diabetes()
+    X = ((db.data - db.data.mean(0)) / db.data.std(0)).astype(np.float64)
+    y = ((db.target - db.target.mean()) / db.target.std()).astype(np.float64)
+    m = X.shape[0]
+    lam = 0.1 * np.max(np.abs(X.T @ y))
+    r = solve_lasso(X, y, lam, abs_tol=1e-6, rel_tol=1e-6, dtype=np.float64,
+                    gap_stop=False)
+    assert r["status"] == 0
+    mdl = lm.Lasso(alpha=lam / m, fit_intercept=False, tol=1e-8).fit(X, y)
+
+    def obj(x):
+        res = X @ x - y
+        return 0.5 * res @ res + lam * np.abs(x).sum()
+
+    gap = obj(np.asarray(r["x"])) - obj(np.ravel(mdl.coef_))
+    assert abs(gap) <= 1e-3 * max(abs(obj(np.ravel(mdl.coef_))), 1.0)
+
+
+def test_regression_expected_file_in_sync():
+    """The stored expected-optima file must exist and cover the suite."""
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "benchmarks", "regression_expected.json")
+    assert os.path.exists(path), "run real_data_benchmark.py --record"
+    with open(path) as fh:
+        expected = json.load(fh)
+    assert set(expected) == {"tv_denoising", "mpc_qp", "portfolio"}
+    assert all(np.isfinite(v) for v in expected.values())
