@@ -10,9 +10,12 @@ kernel with A, Aᵀ, the Gram inverse and all state pinned in VMEM.
 Supported (falls back to the XLA loop otherwise — see
 :func:`fused_hsde_eligible`):
   * dense A that fits VMEM, SMW linear solve (no quadratic P);
-  * cones: Zero / NonNeg / NonPos masks + SOC constraints over
-    *contiguous* index ranges (the layout CVXPY/SCS-style data always
-    has).  Exp cones and SDP use the XLA loop.
+  * cones: Zero / NonNeg / NonPos masks + SOC and exponential (primal +
+    dual) constraints over *contiguous* index ranges (the layout
+    CVXPY/SCS-style data always has).  The exp projection is the same
+    fixed-iteration two-branch bisection as the XLA path
+    (cones/projections.py::project_exp_primal) — pure elementwise ops,
+    Mosaic-compatible.  SDP uses the XLA loop (batched eigh).
 
 Semantics match :func:`pogs_tpu.solver.hsde.hsde_solve` exactly; the
 residual/certificate check runs behind an in-kernel ``lax.cond`` on the
@@ -66,8 +69,7 @@ def fused_hsde_eligible(m: int, n: int, dtype, Ky: ConeSet,
     segs = _segments(Ky)
     if segs is None or len(segs) > 16:
         return False
-    if any(kind in (Cone.SDP, Cone.EXP_PRIMAL, Cone.EXP_DUAL)
-           for kind, _, _ in segs):
+    if any(kind == Cone.SDP for kind, _, _ in segs):
         return False
     mp, np_ = pad_to(m), pad_to(n)
     k = min(mp, np_)
@@ -99,6 +101,93 @@ def _soc_project(seg):
     tail_scale = jnp.where(nrm <= -p, 0.0,
                            jnp.where(nrm >= jnp.abs(p), scale, 1.0))
     return jnp.concatenate([head, tail * tail_scale], axis=1)
+
+
+def _exp_primal_project(seg, bisect_iters: int = 50):
+    """Mosaic-safe exp-cone projection of ONE (1, 3) segment.
+
+    Same algorithm as cones/projections.py::project_exp_primal (two-branch
+    cancellation-free bisection + feasible-nearest candidate selection),
+    but every intermediate stays rank-2 and the argmin/take_along_axis
+    gather is replaced by sequential where-selection — Mosaic supports
+    neither 1-D vectors nor >2-D gathers inside kernels."""
+    dt = seg.dtype
+    f32 = dt == jnp.float32
+    tol = jnp.asarray(1e-6 if f32 else 1e-8, dt)
+    U = 22.0 if f32 else 50.0
+    r = seg[:, 0:1]
+    sv = seg[:, 1:2]
+    t = seg[:, 2:3]
+
+    def safe_exp(x):
+        return jnp.exp(jnp.clip(x, -3 * U, 3 * U))
+
+    def sign_F(u):
+        w = safe_exp(u)
+        w2 = w * w
+        G = w2 * (sv - r * (1.0 - u)) + u * (sv + t * w * (1.0 - u)) - t * w - r
+        return jnp.sign(G) * jnp.sign(w2 + u)
+
+    u_pole = -0.4263027510068963
+    eps = 1e-6 if f32 else 1e-9
+
+    def bisect(lo0, hi0):
+        lo = jnp.full_like(r, lo0)
+        hi = jnp.full_like(r, hi0)
+        slo = sign_F(lo)
+        for _ in range(bisect_iters):
+            mid = 0.5 * (lo + hi)
+            go_right = sign_F(mid) == slo
+            lo = jnp.where(go_right, mid, lo)
+            hi = jnp.where(go_right, hi, mid)
+        return 0.5 * (lo + hi)
+
+    uA = bisect(-U, u_pole - eps)
+    uB = bisect(u_pole + eps, U)
+
+    def gen_candidate(u):
+        w = safe_exp(u)
+        denom = w * w + u
+        denom = jnp.where(jnp.abs(denom) < 1e-30, jnp.asarray(1e-30, dt), denom)
+        lam = jnp.maximum((r * w - u * t) / denom, 0.0)
+        z_star = t + lam
+        y_star = z_star / w
+        x_star = u * y_star
+        return jnp.concatenate([x_star, y_star, z_star], axis=1), z_star > 0
+
+    genA, feasA = gen_candidate(uA)
+    genB, feasB = gen_candidate(uB)
+    ray = jnp.concatenate(
+        [jnp.minimum(r, 0.0), jnp.zeros_like(sv), jnp.maximum(t, 0.0)], axis=1
+    )
+    zero = jnp.zeros_like(seg)
+    spos = jnp.maximum(sv, jnp.asarray(jnp.finfo(dt).tiny, dt))
+    in_cone = ((sv > tol) & (spos * safe_exp(r / spos) <= t + tol)) | (
+        (jnp.abs(sv) <= tol) & (r <= tol) & (t >= -tol)
+    )
+    INF = jnp.asarray(jnp.finfo(dt).max, dt)
+
+    def d2(cand):
+        return jnp.sum((cand - seg) ** 2, axis=1, keepdims=True)
+
+    # Same candidate ORDER as projections.py (v, ray, zero, genA, genB);
+    # strict < keeps the first minimum exactly like argmin does.
+    best = seg
+    best_d = jnp.where(in_cone, d2(seg), INF)
+    for cand, feas in ((ray, None), (zero, None), (genA, feasA), (genB, feasB)):
+        dd = d2(cand)
+        if feas is not None:
+            dd = jnp.where(feas, dd, INF)
+        take = dd < best_d
+        best = jnp.where(take, cand, best)
+        best_d = jnp.where(take, dd, best_d)
+    return best
+
+
+def _exp_dual_project(seg, bisect_iters: int = 80):
+    """Moreau: Π_{K*}(v) = v + Π_K(−v) — same iteration budget as
+    cones/projections.py::project_exp_dual."""
+    return seg + _exp_primal_project(-seg, bisect_iters)
 
 
 def _kernel_body(
@@ -143,11 +232,20 @@ def _kernel_body(
 
     def _apply_segs(out, seg_list):
         # Mosaic rejects zero-width slices — skip empty flanks.
-        for _, s, L in seg_list:
+        for kind, s, L in seg_list:
+            chunk = out[:, s:s + L]
+            if kind == Cone.SOC:
+                proj = _soc_project(chunk)
+            elif kind == Cone.EXP_PRIMAL:
+                proj = _exp_primal_project(chunk)
+            elif kind == Cone.EXP_DUAL:
+                proj = _exp_dual_project(chunk)
+            else:  # pragma: no cover - eligibility excludes SDP
+                proj = chunk
             parts = []
             if s > 0:
                 parts.append(out[:, :s])
-            parts.append(_soc_project(out[:, s:s + L]))
+            parts.append(proj)
             if s + L < out.shape[1]:
                 parts.append(out[:, s + L:])
             out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)

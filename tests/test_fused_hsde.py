@@ -116,9 +116,7 @@ def test_fused_hsde_eligibility():
     Ky_nc = ConeSet([ConeConstraint(Cone.SOC, [0, 2, 4])], 5)
     assert _segments(Ky_nc) is None
     assert not fused_hsde_eligible(5, 3, jnp.float32, Ky_nc, False, False)
-    # exp cones -> XLA loop
-    Ky_exp = ConeSet([ConeConstraint(Cone.EXP_PRIMAL, [0, 1, 2])], 3)
-    assert not fused_hsde_eligible(3, 2, jnp.float32, Ky_exp, False, False)
+    # exp cones are fused since round 2 (see test_fused_hsde_exp_now_eligible)
 
 
 def test_fused_hsde_through_cone_solver():
@@ -173,3 +171,61 @@ def test_fused_hsde_many_soc_segments():
     assert res[False].status == Status.SUCCESS
     assert float(res[True].optval) == pytest.approx(float(res[False].optval),
                                                     rel=1e-3, abs=1e-4)
+
+
+def test_fused_hsde_exp_cone():
+    """Exp-cone LP in the fused kernel (VERDICT round-1 item 9): maximize
+    r s.t. (r, 1, e) ∈ K_exp ⇒ r* = 1 (since 1·e^{r} ≤ e ⇔ r ≤ 1).
+    Trajectory parity with the XLA loop: the kernel's exp projection is
+    the same fixed-iteration two-branch bisection."""
+    e_const = float(np.e)
+    A = np.array([[-1.0], [0.0], [0.0]])
+    b = np.array([0.0, 1.0, e_const])
+    c = np.array([-1.0])
+    Ky = ConeSet([ConeConstraint(Cone.EXP_PRIMAL, [0, 1, 2])], 3)
+    ref, fus = _both(A, b, c, Ky, max_iter=5000)
+    _assert_match(ref, fus)
+    assert int(fus["status"]) == int(Status.SUCCESS)
+    w = np.asarray(fus["w"])
+    x = w[0] / w[-1]
+    assert x == pytest.approx(1.0, abs=5e-3)
+
+
+def test_fused_hsde_mixed_exp_soc_segments():
+    """Mixed Zero + NonNeg + SOC + EXP_PRIMAL segments in one problem:
+    min c'x over the intersection; fused == XLA trajectory."""
+    rng = np.random.default_rng(17)
+    n = 4
+    # x bounded by: Ax <= b (nonneg rows), an SOC ball around x0, and an
+    # exp-cone row tying x[0] into (x0_head, 1, e).
+    x0 = rng.standard_normal(n)
+    c = rng.standard_normal(n)
+    soc = np.vstack([np.zeros((1, n)), -np.eye(n)])
+    b_soc = np.concatenate([[2.0], -x0])
+    A_exp = np.zeros((3, n))
+    A_exp[0, 0] = -1.0
+    b_exp = np.array([0.0, 1.0, float(np.e)])
+    A_nn = rng.standard_normal((2, n))
+    b_nn = A_nn @ x0 + 2.0
+    A = np.vstack([soc, A_exp, A_nn])
+    b = np.concatenate([b_soc, b_exp, b_nn])
+    m = A.shape[0]
+    Ky = ConeSet([
+        ConeConstraint(Cone.SOC, range(n + 1)),
+        ConeConstraint(Cone.EXP_PRIMAL, [n + 1, n + 2, n + 3]),
+        ConeConstraint(Cone.NON_NEG, [n + 4, n + 5]),
+    ], m)
+    ref, fus = _both(A, b, c, Ky, max_iter=8000)
+    _assert_match(ref, fus)
+    assert int(fus["status"]) == int(Status.SUCCESS)
+
+
+def test_fused_hsde_exp_now_eligible():
+    """Eligibility: exp cones no longer force the XLA fallback."""
+    Ky = ConeSet([ConeConstraint(Cone.EXP_PRIMAL, [0, 1, 2])], 3)
+    assert fused_hsde_eligible(3, 2, jnp.float32, Ky, has_P=False,
+                               use_anderson=False)
+    # SDP still routes to the XLA loop (batched eigh).
+    Ky_sdp = ConeSet([ConeConstraint(Cone.SDP, [0, 1, 2])], 3)
+    assert not fused_hsde_eligible(3, 2, jnp.float32, Ky_sdp, has_P=False,
+                                   use_anderson=False)
