@@ -19,8 +19,15 @@ Algorithmic parity (constants from pogs.cpp:93-110):
     re-verifies the primal residual post-solve (pogs.cpp:520-564)
   * implicit warm start: the final complete iterate z is returned for reuse
 
-Layout: z = [x (n) ; y (m)], matching the math; d scales rows (y), e scales
-columns (x).
+Layout: the reference packs z = [x (n) ; y (m)]; this loop carries the x
+and y parts as SEPARATE pytree leaves instead.  Same math (d scales rows/
+y, e scales columns/x), but under a device mesh the two parts have
+different natural shardings (y row-sharded, x replicated on the row plan)
+— slicing a packed z at the n-boundary inside the loop forced GSPMD to
+insert per-iteration collective-permutes (measured 28 in the loop body on
+an 8-way mesh); with split state the loop body's only collectives are the
+Aᵀ-side psums.  Packing happens once at the solve boundary for the
+warm-start interface.
 """
 
 from __future__ import annotations
@@ -53,10 +60,14 @@ K_KAPPA = 0.9
 
 
 class LoopState(NamedTuple):
-    z: jax.Array        # current iterate (projected), length m+n
-    zt: jax.Array       # scaled dual
-    z12: jax.Array      # half-iterate (prox output)
-    zprev: jax.Array    # iterate at loop entry (the last *complete* iterate)
+    x: jax.Array        # current iterate (projected), x part (n,)
+    y: jax.Array        # current iterate (projected), y part (m,)
+    xt: jax.Array       # scaled dual, x part
+    yt: jax.Array       # scaled dual, y part
+    x12: jax.Array      # half-iterate (prox output), x part
+    y12: jax.Array      # half-iterate (prox output), y part
+    xprev: jax.Array    # last *complete* iterate, x part
+    yprev: jax.Array    # last *complete* iterate, y part
     rho: jax.Array
     delta: jax.Array
     xi: jax.Array
@@ -76,6 +87,15 @@ class LoopState(NamedTuple):
     aa: AndersonState
 
 
+def _nrm2(v):
+    return jnp.sum(v * v)
+
+
+def _nrm_pair(a, b):
+    """‖[a; b]‖₂ without materializing the concatenation."""
+    return jnp.sqrt(_nrm2(a) + _nrm2(b))
+
+
 def admm_loop(
     A,
     norm_A,
@@ -91,8 +111,10 @@ def admm_loop(
 ):
     """Run the scaled-space ADMM iteration. Pure/traceable.
 
-    Returns a dict of scaled-space results plus diagnostics; unscaling to
-    the original space happens in the caller (solver wrapper).
+    ``z0``/``zt0`` use the packed [x; y] warm-start convention (split once
+    here, re-packed once in the outputs).  Returns a dict of scaled-space
+    results plus diagnostics; unscaling to the original space happens in
+    the caller (solver wrapper).
     """
     m, n = A.shape
     dt = A.dtype
@@ -126,23 +148,25 @@ def admm_loop(
         return jnp.linalg.norm(v)
 
     def body(st: LoopState) -> LoopState:
-        zprev = st.z
+        xprev, yprev = st.x, st.y
         rho = st.rho
 
         # --- Proximal step: z^{k+1/2} = prox(z^k - z̃^k) -------------------
-        zin = st.z - st.zt
-        x12, y12 = prox_fn(zin[:n], zin[n:], rho)
-        z12 = jnp.concatenate([x12, y12])
+        xin = st.x - st.xt
+        yin = st.y - st.yt
+        x12, y12 = prox_fn(xin, yin, rho)
 
         # --- Gap / tolerances (pogs.cpp:266-273) ---------------------------
-        zmz12 = zin - z12  # = zprev - zt - z12; its x-part is mu/rho
-        gap = jnp.abs(jnp.vdot(zmz12, z12))
-        eps_gap = sqrtmn_atol + rel_tol * nrm(zmz12) * nrm(z12)
+        xm = xin - x12  # x-part of zprev - zt - z12; equals mu/rho
+        ym = yin - y12
+        gap = jnp.abs(jnp.vdot(xm, x12) + jnp.vdot(ym, y12))
+        eps_gap = sqrtmn_atol + rel_tol * _nrm_pair(xm, ym) * _nrm_pair(x12, y12)
         eps_pri = sqrtm_atol + rel_tol * nrm(y12)
-        eps_dua = rho * (sqrtn_atol + rel_tol * nrm(zmz12[:n]))
+        eps_dua = rho * (sqrtn_atol + rel_tol * nrm(xm))
 
         # --- Over-relaxed projection input (pogs.cpp:276-278) --------------
-        z_or = st.zt + alpha * z12 + (one - alpha) * zprev
+        x_or = st.xt + alpha * x12 + (one - alpha) * xprev
+        y_or = st.yt + alpha * y12 + (one - alpha) * yprev
 
         # Residual-tied projection tolerance.  The raw ladder has a fixed
         # point at r = tol_min^(1/(1-p)) (normal mode: r = 0.01*sqrt(r)
@@ -153,14 +177,11 @@ def admm_loop(
         proj_tol = jnp.minimum(proj_tol, abs_tol)
         proj_tol = jnp.maximum(proj_tol, proj_tol_max)
 
-        x_new, y_new = project_fn(z_or[:n], z_or[n:], proj_tol, zprev[:n])
-        z_new = jnp.concatenate([x_new, y_new])
+        x_new, y_new = project_fn(x_or, y_or, proj_tol, xprev)
 
         # --- Approximate residuals (pogs.cpp:299-308) ----------------------
-        dzp = zprev - z_new
-        nrm_s = rho * (norm_A * nrm(dzp[n:]) + nrm(dzp[:n]))
-        dz12 = z12 - z_new
-        nrm_r = norm_A * nrm(dz12[:n]) + nrm(dz12[n:])
+        nrm_s = rho * (norm_A * nrm(yprev - y_new) + nrm(xprev - x_new))
+        nrm_r = norm_A * nrm(x12 - x_new) + nrm(y12 - y_new)
 
         # --- Exact residuals only near tolerance (pogs.cpp:310-336) --------
         near = jnp.logical_and(nrm_r < 10 * eps_pri, nrm_s < 10 * eps_dua)
@@ -169,8 +190,8 @@ def admm_loop(
 
         def exact_branch(_):
             r_vec = matvec(x12) - y12
-            s_in = y12 + st.zt[n:] - zprev[n:]
-            s_vec = rmatvec(s_in) + (x12 + st.zt[:n] - zprev[:n])
+            s_in = y12 + st.yt - yprev
+            s_vec = rmatvec(s_in) + (x12 + st.xt - xprev)
             if exact_mode:
                 # Original-space metrics (pogs.cpp:210-248).
                 dm = jnp.where(d == 0, jnp.ones_like(d), d)
@@ -201,7 +222,10 @@ def admm_loop(
             converged = jnp.logical_and(converged, gap < eps_gap)
 
         nan_found = jnp.logical_not(
-            jnp.logical_and(jnp.isfinite(nrm_r), jnp.isfinite(jnp.sum(z_new)))
+            jnp.logical_and(
+                jnp.isfinite(nrm_r),
+                jnp.isfinite(jnp.sum(x_new)) & jnp.isfinite(jnp.sum(y_new)),
+            )
         )
         # MONOTONE done: under vmap the loop runs until ALL lanes finish, and
         # a frozen lane's recomputed convergence test can flicker false —
@@ -224,7 +248,8 @@ def admm_loop(
             lax.cond((st.k % stride == 0) | converged, _report, lambda _: 0, None)
 
         # --- Dual update (pogs.cpp:396-399); skipped once done -------------
-        zt_new = st.zt + alpha * z12 + (one - alpha) * zprev - z_new
+        xt_new = st.xt + alpha * x12 + (one - alpha) * xprev - x_new
+        yt_new = st.yt + alpha * y12 + (one - alpha) * yprev - y_new
 
         # --- Adaptive rho (pogs.cpp:401-466) --------------------------------
         rho_new, delta_new, xi_new, kd_new, ku_new = (
@@ -281,7 +306,8 @@ def admm_loop(
                 jnp.where(up_apply, one / st.delta,
                           jnp.where(dn_apply, st.delta, one)),
             )
-            zt_new = zt_new * zt_scale
+            xt_new = xt_new * zt_scale
+            yt_new = yt_new * zt_scale
             rho_rescaled = zt_scale != one
             delta_new = jnp.where(
                 up_apply | dn_apply, K_GAMMA * st.delta,
@@ -293,19 +319,23 @@ def admm_loop(
 
         # Anderson acceleration on the (z, z~) pair (experimental knob,
         # off by default; docs/api/configuration.md:150-196). History is
-        # invalidated whenever rho rescales z~.
+        # invalidated whenever rho rescales z~.  The packed history vector
+        # reintroduces concat/slice resharding under a mesh — acceptable
+        # for an off-by-default knob.
         aa_state = st.aa
         if settings.use_anderson:
-            s_prev = jnp.concatenate([zprev, st.zt])
-            s_vec = jnp.concatenate([z_new, zt_new])
+            s_prev = jnp.concatenate([xprev, yprev, st.xt, st.yt])
+            s_vec = jnp.concatenate([x_new, y_new, xt_new, yt_new])
             s_acc, aa_state = anderson_step(aa_state, s_prev, s_vec)
             if settings.adaptive_rho:
                 aa_state = aa_state._replace(
                     k=jnp.where(rho_rescaled, 0, aa_state.k)
                 )
             use_aa = (st.k >= settings.anderson_start) & jnp.logical_not(done)
-            z_new = jnp.where(use_aa, s_acc[: m + n], z_new)
-            zt_new = jnp.where(use_aa, s_acc[m + n:], zt_new)
+            x_new = jnp.where(use_aa, s_acc[:n], x_new)
+            y_new = jnp.where(use_aa, s_acc[n:n + m], y_new)
+            xt_new = jnp.where(use_aa, s_acc[n + m:2 * n + m], xt_new)
+            yt_new = jnp.where(use_aa, s_acc[2 * n + m:], yt_new)
 
         # Freeze post-convergence state (the reference breaks before the
         # dual/rho updates, pogs.cpp:391-394).
@@ -315,10 +345,14 @@ def admm_loop(
             return jnp.where(keep, old, new)
 
         return LoopState(
-            z=z_new,
-            zt=sel(zt_new, st.zt),
-            z12=z12,
-            zprev=zprev,
+            x=x_new,
+            y=y_new,
+            xt=sel(xt_new, st.xt),
+            yt=sel(yt_new, st.yt),
+            x12=x12,
+            y12=y12,
+            xprev=xprev,
+            yprev=yprev,
             rho=sel(rho_new, rho),
             delta=sel(delta_new, st.delta),
             xi=sel(xi_new, st.xi),
@@ -338,12 +372,17 @@ def admm_loop(
             aa=aa_state,
         )
 
-    zeros = jnp.zeros((m + n,), dt)
+    z0 = jnp.asarray(z0, dt)
+    zt0 = jnp.asarray(zt0, dt)
     init = LoopState(
-        z=jnp.asarray(z0, dt),
-        zt=jnp.asarray(zt0, dt),
-        z12=zeros,
-        zprev=zeros,
+        x=z0[:n],
+        y=z0[n:],
+        xt=zt0[:n],
+        yt=zt0[n:],
+        x12=jnp.zeros((n,), dt),
+        y12=jnp.zeros((m,), dt),
+        xprev=jnp.zeros((n,), dt),
+        yprev=jnp.zeros((m,), dt),
         rho=jnp.asarray(rho0, dt),
         delta=jnp.asarray(K_DELTA_MIN, dt),
         xi=jnp.asarray(1.0, dt),
@@ -370,10 +409,11 @@ def admm_loop(
     st = lax.while_loop(lambda s: jnp.logical_not(s.done), body, init)
 
     # --- Outputs (scaled space), pogs.cpp:472-518 --------------------------
-    optval = eval_fn(st.z12[:n], st.z12[n:])
+    optval = eval_fn(st.x12, st.y12)
 
     # (mu, nu)/rho = -(zt - zprev + z12); scaled duals.
-    zdual = -st.rho * (st.zt - st.zprev + st.z12)
+    mu_scaled = -st.rho * (st.xt - st.xprev + st.x12)
+    nu_scaled = -st.rho * (st.yt - st.yprev + st.y12)
 
     status = jnp.where(
         st.converged,
@@ -382,10 +422,10 @@ def admm_loop(
     ).astype(jnp.int32)
 
     return {
-        "x12": st.z12[:n],
-        "y12": st.z12[n:],
-        "mu_scaled": zdual[:n],
-        "nu_scaled": zdual[n:],
+        "x12": st.x12,
+        "y12": st.y12,
+        "mu_scaled": mu_scaled,
+        "nu_scaled": nu_scaled,
         "optval": optval,
         "final_iter": st.k,
         "status": status,
@@ -396,8 +436,9 @@ def admm_loop(
         "eps_pri": st.eps_pri,
         "eps_dua": st.eps_dua,
         # The last complete iterate, for implicit warm starts (pogs.cpp:573).
-        "z": st.zprev,
-        "zt": st.zt,
+        # Packed once here — the [x; y] convention is the warm-start ABI.
+        "z": jnp.concatenate([st.xprev, st.yprev]),
+        "zt": jnp.concatenate([st.xt, st.yt]),
     }
 
 

@@ -371,3 +371,29 @@ def test_init_distributed_surfaces_failure(monkeypatch):
     n = mesh_mod.init_distributed(coordinator_address="10.0.0.1:1234",
                                   num_processes=2, process_id=0)
     assert n == len(jax.devices())
+
+
+def test_loop_body_has_no_collective_permutes(mesh8):
+    """Split (x, y) loop state regression: packing z = [x; y] and slicing
+    it inside the loop forced GSPMD to insert per-iteration
+    collective-permutes (28 in the body on this mesh).  The loop body's
+    only collectives must be reduces (Aᵀ-side psums + norms)."""
+    from pogs_tpu.solver.graph import GraphFormSolver, _get_solve_fn
+
+    m, n = 64, 16
+    A, b, lam = _problem(m, n, seed=21)
+    f = FunctionVector(Function.SQUARE, m, b=b, dtype=jnp.float32)
+    g = FunctionVector(Function.ABS, n, c=lam, dtype=jnp.float32)
+    st = SolverSettings(abs_tol=1e-4, rel_tol=1e-3, use_fused=False)
+    A_sh = shard_matrix(jnp.asarray(A), mesh8)
+    solver = GraphFormSolver(A_sh, dtype=jnp.float32, settings=st)
+    solver.init()
+    fn = _get_solve_fn((m, n), solver.dtype, f.h, g.h, st, solver.projector,
+                       solver.direct_method, False, False, False, fused=False)
+    f.to_device()
+    g.to_device()
+    txt = fn.lower(solver._init_state, tuple(f.params), tuple(g.params),
+                   1.0, {}).compile().as_text()
+    body_lines = [line for line in txt.splitlines() if "while/body" in line]
+    n_permute = sum("collective-permute" in line for line in body_lines)
+    assert n_permute == 0, f"{n_permute} collective-permutes in the loop body"
