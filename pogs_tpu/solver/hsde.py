@@ -19,6 +19,14 @@ every 10 iterations, and infeasibility/unboundedness certificates from
 lax.while_loop — residual checks live behind a lax.cond so they cost
 nothing on off iterations.
 
+Layout: the embedding vector is carried as SEPARATE (x, y, τ) pytree
+leaves rather than one packed R^{n+m+1} array.  Same math, but under a
+device mesh the parts have different natural shardings (y row-sharded
+with A's rows, x and τ replicated) — slicing a packed u inside the loop
+forced GSPMD to insert per-iteration collective-permutes (measured 19 in
+the DR body on an 8-way mesh).  Packing happens once at the solve
+boundary (the packed u is the warm-start ABI).
+
 Linear-solver strategies for (I + Q) w = u (all factor ONCE — Q is fixed):
   * 'smw'     — Sherman–Morrison–Woodbury through the cached Gram inverse
                 (I + P + AᵀA)^{-1}: 4 gemv per iteration (pogs.cpp:1106-1357;
@@ -28,11 +36,15 @@ Linear-solver strategies for (I + Q) w = u (all factor ONCE — Q is fixed):
                 static regularization and iterative refinement
                 (pogs.cpp:1527-1614), for embeddings small enough to
                 factor (reference kDirectLimit: dim ≤ 2000).  Cholesky-
-                based because f64 LU/inv does not lower on TPU.
+                based because f64 LU/inv does not lower on TPU.  This
+                strategy packs/unpacks inside the loop — irrelevant at
+                the sizes it is selected for (never sharded).
                 ('inverse' is accepted as an alias.)
   * 'cg'      — Jacobi-preconditioned CG on the normal equations with
                 residual-tied tolerance (pogs.cpp:1359-1410), for operators
-                too big to factor.
+                too big to factor.  Runs on the split representation
+                (tuple-pytree CG), so huge sharded problems stay
+                permute-free.
 """
 
 from __future__ import annotations
@@ -70,29 +82,46 @@ def _ops(A):
 
 
 def make_q_matvec(A, b, c, P=None):
-    """Q [x;y;τ] = [Px + Aᵀy + cτ; −Ax + bτ; −cᵀx − bᵀy] (pogs.cpp:1013-1040)."""
+    """Q [x;y;τ] = [Px + Aᵀy + cτ; −Ax + bτ; −cᵀx − bᵀy] (pogs.cpp:1013-1040).
+
+    Packed-vector form (kept for tests / external callers); the DR loop
+    itself uses the split form below.
+    """
     m, n = A.shape
-    amv, armv = _ops(A)
+    q, qt = _q_apply_split(A, b, c, P)
 
     def q_matvec(u):
-        x, y, tau = u[:n], u[n:n + m], u[n + m]
+        top, mid, bot = q(u[:n], u[n:n + m], u[n + m])
+        return jnp.concatenate([top, mid, bot[None]])
+
+    def qt_matvec(u):
+        top, mid, bot = qt(u[:n], u[n:n + m], u[n + m])
+        return jnp.concatenate([top, mid, bot[None]])
+
+    return q_matvec, qt_matvec
+
+
+def _q_apply_split(A, b, c, P=None):
+    """Split-form Q and Qᵀ applications: (x, y, τ) → (x', y', τ')."""
+    amv, armv = _ops(A)
+
+    def q(x, y, tau):
         top = armv(y) + c * tau
         if P is not None:
             top = top + _mv(P, x)
         mid = -amv(x) + b * tau
         bot = -jnp.vdot(c, x) - jnp.vdot(b, y)
-        return jnp.concatenate([top, mid, bot[None]])
+        return top, mid, bot
 
-    def qt_matvec(u):
-        x, y, tau = u[:n], u[n:n + m], u[n + m]
+    def qt(x, y, tau):
         top = -armv(y) - c * tau
         if P is not None:
             top = top + _mv(P, x)
         mid = amv(x) - b * tau
         bot = jnp.vdot(c, x) + jnp.vdot(b, y)
-        return jnp.concatenate([top, mid, bot[None]])
+        return top, mid, bot
 
-    return q_matvec, qt_matvec
+    return q, qt
 
 
 # ---------------------------------------------------------------------------
@@ -121,23 +150,24 @@ def smw_setup(A, b, c, P=None):
     return {"Kinv": Kinv, "t_x": t_x, "t_y": t_y, "s_den": s_den}
 
 
-def smw_solve(factor, A, b, c, u):
-    """(I + Q)⁻¹ u via SMW back-substitution (pogs.cpp:1230-1284).
-
-    ``factor`` may carry an ``apply`` callable for (I+P+AᵀA)⁻¹ (used when
-    the cached projector factor is the m×m wide-case inverse and the n×n
-    solve goes through Woodbury); otherwise ``Kinv`` is the explicit n×n
-    inverse."""
-    m, n = A.shape
+def _smw_solve_split(factor, A, b, c, ux, uy, ut):
+    """(I + Q)⁻¹ u via SMW back-substitution (pogs.cpp:1230-1284), split
+    form.  ``factor`` may carry an ``apply`` callable for (I+P+AᵀA)⁻¹."""
     amv, armv = _ops(A)
     apply_kinv = factor.get("apply") or (lambda v: _mv(factor["Kinv"], v))
-    w_x, w_y, w_tau = u[:n], u[n:n + m], u[n + m]
-    p_x = apply_kinv(w_x - armv(w_y))
-    p_y = w_y + amv(p_x)
+    p_x = apply_kinv(ux - armv(uy))
+    p_y = uy + amv(p_x)
     h_dot_p = jnp.vdot(c, p_x) + jnp.vdot(b, p_y)
-    u_tau = (w_tau + h_dot_p) / factor["s_den"]
-    out_x = p_x - factor["t_x"] * u_tau
-    out_y = p_y - factor["t_y"] * u_tau
+    u_tau = (ut + h_dot_p) / factor["s_den"]
+    return p_x - factor["t_x"] * u_tau, p_y - factor["t_y"] * u_tau, u_tau
+
+
+def smw_solve(factor, A, b, c, u):
+    """Packed-vector wrapper around the split SMW solve."""
+    m, n = A.shape
+    out_x, out_y, u_tau = _smw_solve_split(
+        factor, A, b, c, u[:n], u[n:n + m], u[n + m]
+    )
     return jnp.concatenate([out_x, out_y, u_tau[None]])
 
 
@@ -160,8 +190,9 @@ def dense_q(A, b, c, P=None):
     return M
 
 
-def jacobi_inv_diag(A, b, c, P=None):
-    """Jacobi preconditioner diag((I+Q)ᵀ(I+Q))⁻¹ (pogs.cpp:1483-1503)."""
+def jacobi_inv_diag_split(A, b, c, P=None):
+    """Jacobi preconditioner diag((I+Q)ᵀ(I+Q))⁻¹ (pogs.cpp:1483-1503),
+    returned as split (x, y, τ) parts."""
     m, n = A.shape
     dt = A.dtype
     if hasattr(A, "sq_rmv"):
@@ -179,12 +210,81 @@ def jacobi_inv_diag(A, b, c, P=None):
     dx = 1.0 + 2.0 * diag_p + col_p + col_a + c * c
     dy = 1.0 + row_a + b * b
     dtau = 1.0 + jnp.vdot(c, c) + jnp.vdot(b, b)
-    d = jnp.concatenate([dx, dy, dtau[None]])
-    return 1.0 / jnp.maximum(d, 1e-8)
+    return (1.0 / jnp.maximum(dx, 1e-8),
+            1.0 / jnp.maximum(dy, 1e-8),
+            1.0 / jnp.maximum(dtau, 1e-8))
+
+
+def jacobi_inv_diag(A, b, c, P=None):
+    """Packed form of the Jacobi preconditioner (kept for callers/tests)."""
+    dx, dy, dtau = jacobi_inv_diag_split(A, b, c, P)
+    return jnp.concatenate([dx, dy, dtau[None]])
+
+
+# --- tuple-pytree helpers for the split CG --------------------------------
+
+def _t_add(a, b):
+    return tuple(x + y for x, y in zip(a, b))
+
+
+def _t_sub(a, b):
+    return tuple(x - y for x, y in zip(a, b))
+
+
+def _t_scale(s, a):
+    return tuple(s * x for x in a)
+
+
+def _t_mul(a, b):
+    return tuple(x * y for x, y in zip(a, b))
+
+
+def _t_vdot(a, b):
+    return sum(jnp.vdot(x, y) for x, y in zip(a, b))
+
+
+def _t_norm(a):
+    return jnp.sqrt(sum(jnp.sum(x * x) for x in a))
+
+
+def cg_solve_normal_split(q, qt, inv_diag, u, x0, tol, max_iter):
+    """PCG on (I+Q)ᵀ(I+Q) w = (I+Q)ᵀ u (pogs.cpp:1359-1410), where every
+    vector is a split (x, y, τ) tuple — no packed-dim arrays, so sharded
+    problems stay permute-free."""
+    def normal(v):
+        t = _t_add(v, q(*v))
+        return _t_add(t, qt(*t))
+
+    rhs = _t_add(u, qt(*u))
+    r = _t_sub(rhs, normal(x0))
+    z = _t_mul(r, inv_diag)
+    p = z
+    rz = _t_vdot(r, z)
+    rhs_norm = _t_norm(rhs)
+
+    def cond(carry):
+        x, r, z, p, rz, k, done = carry
+        return jnp.logical_and(k < max_iter, jnp.logical_not(done))
+
+    def body(carry):
+        x, r, z, p, rz, k, _ = carry
+        Ap = normal(p)
+        pAp = _t_vdot(p, Ap)
+        alpha = rz / jnp.where(jnp.abs(pAp) <= 1e-20, 1e-20, pAp)
+        x = _t_add(x, _t_scale(alpha, p))
+        r = _t_sub(r, _t_scale(alpha, Ap))
+        done = _t_norm(r) <= tol * rhs_norm
+        z = _t_mul(r, inv_diag)
+        rz_new = _t_vdot(r, z)
+        p = _t_add(z, _t_scale(rz_new / rz, p))
+        return (x, r, z, p, rz_new, k + 1, done)
+
+    x, *_ = lax.while_loop(cond, body, (x0, r, z, p, rz, 0, rhs_norm == 0))
+    return x
 
 
 def cg_solve_normal(q_matvec, qt_matvec, inv_diag, u, x0, tol, max_iter):
-    """PCG on (I+Q)ᵀ(I+Q) w = (I+Q)ᵀ u (pogs.cpp:1359-1410)."""
+    """Packed-vector PCG (kept for callers/tests that work on dim-arrays)."""
     def normal(v):
         t = v + q_matvec(v)
         return t + qt_matvec(t)
@@ -222,8 +322,12 @@ def cg_solve_normal(q_matvec, qt_matvec, inv_diag, u, x0, tol, max_iter):
 # ---------------------------------------------------------------------------
 
 class HsdeState(NamedTuple):
-    u: jax.Array
-    w: jax.Array
+    ux: jax.Array       # embedding x part (n,)
+    uy: jax.Array       # embedding y part (m,)
+    ut: jax.Array       # embedding τ (scalar)
+    wx: jax.Array
+    wy: jax.Array
+    wt: jax.Array
     alpha: jax.Array
     fp_resid: jax.Array
     prev_resid: jax.Array
@@ -263,19 +367,20 @@ def hsde_solve(
     Ky_dual = Ky.dual()
 
     amv, armv = _ops(A)
-    q_matvec, qt_matvec = make_q_matvec(A, b, c, P)
+    q_split, qt_split = _q_apply_split(A, b, c, P)
 
     if strategy == "smw":
         factor = smw_factor if smw_factor is not None else smw_setup(A, b, c, P)
 
-        def lin_solve(u, fp_resid):
-            return smw_solve(factor, A, b, c, u)
+        def lin_solve(ux, uy, ut, fp_resid):
+            return _smw_solve_split(factor, A, b, c, ux, uy, ut)
     elif strategy in ("direct", "inverse"):
         # Direct normal-equations solve for (I+Q)w = u: Cholesky of
         # G = MᵀM + δI with static regularization and two iterative-
         # refinement steps against the unregularized system
         # (pogs.cpp:1527-1614; Cholesky-based — f64 LU/inv does not lower
-        # on TPU).
+        # on TPU).  Packs/unpacks at the lin_solve boundary — fine at the
+        # dim ≤ 2000 sizes this strategy is selected for.
         M = dense_q(A, b, c, P)
         delta = jnp.asarray(
             (1e-6 if dt == jnp.float32 else 1e-12) * dim, dt
@@ -287,31 +392,35 @@ def hsde_solve(
         def _solve_G(r):
             return jax.scipy.linalg.cho_solve((L, True), r)
 
-        def lin_solve(u, fp_resid):
+        def lin_solve(ux, uy, ut, fp_resid):
+            u = jnp.concatenate([ux, uy, ut[None]])
             rhs = _mv(M.T, u)
             w = _solve_G(rhs)
             for _ in range(2):  # refinement vs the unregularized MᵀM
                 resid = rhs - _mv(M.T, _mv(M, w))
                 w = w + _solve_G(resid)
-            return w
+            return w[:n], w[n:n + m], w[n + m]
     elif strategy == "cg":
-        inv_diag = jacobi_inv_diag(A, b, c, P)
+        inv_diag = jacobi_inv_diag_split(A, b, c, P)
         cg_max = min(20000, 20 * dim)
 
-        def lin_solve(u, fp_resid):
+        def lin_solve(ux, uy, ut, fp_resid):
             # CG stops on ||r|| <= tol * ||rhs||, but the *solution* error is
             # ~cond(MᵀM) * tol — a proportional tolerance alone therefore has
             # a fixed point where the DR residual stalls at cond * tol (seen
             # on LPs: iterates at the optimum, convergence test never firing).
             # One iterative-refinement pass squares the effective accuracy
             # (err ~ cond * tol^2), which restores the contraction.
-            u_norm = jnp.maximum(jnp.linalg.norm(u), 1.0)
+            u = (ux, uy, ut)
+            u_norm = jnp.maximum(_t_norm(u), 1.0)
             tol = jnp.clip(0.1 * fp_resid / u_norm, 1e-12, 1e-2)
-            w = cg_solve_normal(q_matvec, qt_matvec, inv_diag, u, u, tol, cg_max)
-            r = u - (w + q_matvec(w))
-            dw = cg_solve_normal(q_matvec, qt_matvec, inv_diag, r,
-                                 jnp.zeros_like(r), tol, cg_max)
-            return w + dw
+            w = cg_solve_normal_split(q_split, qt_split, inv_diag, u, u,
+                                      tol, cg_max)
+            r = _t_sub(u, _t_add(w, q_split(*w)))
+            zero = tuple(jnp.zeros_like(x) for x in u)
+            dw = cg_solve_normal_split(q_split, qt_split, inv_diag, r, zero,
+                                       tol, cg_max)
+            return _t_add(w, dw)
     else:
         raise ValueError(f"unknown HSDE strategy {strategy!r}")
 
@@ -324,12 +433,11 @@ def hsde_solve(
 
     def convergence_check(st: HsdeState) -> HsdeState:
         """Every-10-iterations residual / certificate test (pogs.cpp:1713-1832)."""
-        w = st.w
-        tau = w[n + m]
+        tau = st.wt
 
         def tau_pos(_):
-            x_s = w[:n] / tau
-            y_s = w[n:n + m] / tau
+            x_s = st.wx / tau
+            y_s = st.wy / tau
             s_s = b - amv(x_s)
             r_pri = jnp.linalg.norm(s_s - Ky.project(s_s))
             s_norm = jnp.linalg.norm(s_s)
@@ -363,8 +471,8 @@ def hsde_solve(
             return alpha, curr, converged, status, r_pri, r_dua, gap
 
         def tau_zero(_):
-            x_h = w[:n]
-            y_h = w[n:n + m]
+            x_h = st.wx
+            y_h = st.wy
             kappa = -jnp.vdot(c, x_h) - jnp.vdot(b, y_h)
             fp_tol = abs_tol * jnp.sqrt(jnp.asarray(dim, dt)) + rel_tol
             check = (kappa > K_KAPPA_TOL) & (st.fp_resid <= fp_tol)
@@ -402,7 +510,7 @@ def hsde_solve(
         # normalizes with tau -> 0.  A pure absolute threshold misses
         # certificates whose tau hovers just above it (tau = 2e-8 with
         # kappa = 0.44 observed on an unbounded LP).
-        w_norm = jnp.linalg.norm(w)
+        w_norm = jnp.sqrt(_nrm2(st.wx) + _nrm2(st.wy) + st.wt * st.wt)
         alpha, prev_resid, done_new, status, r_pri, r_dua, gap = lax.cond(
             tau > jnp.maximum(K_TAU_TOL, K_TAU_REL * w_norm), tau_pos, tau_zero,
             None,
@@ -414,27 +522,40 @@ def hsde_solve(
         )
 
     def body(st: HsdeState) -> HsdeState:
-        w = lin_solve(st.u, st.fp_resid)
-        v = 2.0 * w - st.u
+        wx, wy, wt = lin_solve(st.ux, st.uy, st.ut, st.fp_resid)
+        vx = 2.0 * wx - st.ux
+        vy = 2.0 * wy - st.uy
+        vt = 2.0 * wt - st.ut
         # Project: x free, y onto K_y*, τ onto R_+ (pogs.cpp:1699-1704).
-        z_y = Ky_dual.project(v[n:n + m])
-        z = jnp.concatenate([v[:n], z_y, jnp.maximum(v[n + m], 0.0)[None]])
-        u = st.u + st.alpha * (z - w)
-        fp_resid = jnp.linalg.norm(z - w)
+        zy = Ky_dual.project(vy)
+        zt = jnp.maximum(vt, 0.0)
+        ux = st.ux + st.alpha * (vx - wx)   # x part: z = v (free)
+        uy = st.uy + st.alpha * (zy - wy)
+        ut = st.ut + st.alpha * (zt - wt)
+        fp_resid = jnp.sqrt(
+            _nrm2(vx - wx) + _nrm2(zy - wy) + (zt - wt) ** 2
+        )
         if use_anderson:
             # Type-II AA on the DR fixed-point map u ↦ u⁺ (Anderson-
             # accelerated Douglas–Rachford, arXiv:1908.11482), safeguarded:
             # the history resets whenever the fixed-point residual grows,
-            # which reverts the next step to plain DR.
-            u_acc, aa_state = anderson_step(st.aa, st.u, u)
+            # which reverts the next step to plain DR.  The packed history
+            # vector reintroduces concat/slice resharding under a mesh —
+            # acceptable for an off-by-default knob.
+            u_prev = jnp.concatenate([st.ux, st.uy, st.ut[None]])
+            u_next = jnp.concatenate([ux, uy, ut[None]])
+            u_acc, aa_state = anderson_step(st.aa, u_prev, u_next)
             grew = fp_resid > 1.0 * st.fp_resid
             aa_state = aa_state._replace(
                 k=jnp.where(grew, 0, aa_state.k)
             )
             take = (st.k >= anderson_start) & jnp.logical_not(grew)
-            u = jnp.where(take, u_acc, u)
+            ux = jnp.where(take, u_acc[:n], ux)
+            uy = jnp.where(take, u_acc[n:n + m], uy)
+            ut = jnp.where(take, u_acc[n + m], ut)
             st = st._replace(aa=aa_state)
-        st = st._replace(u=u, w=w, fp_resid=fp_resid)
+        st = st._replace(ux=ux, uy=uy, ut=ut, wx=wx, wy=wy, wt=wt,
+                         fp_resid=fp_resid)
 
         st = lax.cond(
             (st.k % K_CHECK_EVERY == 0) | (st.k >= max_iter - 1),
@@ -444,12 +565,19 @@ def hsde_solve(
         return st._replace(k=jnp.where(st.done, st.k, st.k + 1), done=done)
 
     if u0 is None:
-        u0 = jnp.zeros(dim, dt).at[n + m].set(1.0)
+        ux0 = jnp.zeros(n, dt)
+        uy0 = jnp.zeros(m, dt)
+        ut0 = jnp.asarray(1.0, dt)
     else:
         u0 = jnp.asarray(u0, dt)
+        ux0, uy0, ut0 = u0[:n], u0[n:n + m], u0[n + m]
     init = HsdeState(
-        u=u0,
-        w=jnp.zeros(dim, dt),
+        ux=ux0,
+        uy=uy0,
+        ut=ut0,
+        wx=jnp.zeros(n, dt),
+        wy=jnp.zeros(m, dt),
+        wt=jnp.asarray(0.0, dt),
         alpha=jnp.asarray(K_ALPHA_MIN, dt),
         fp_resid=jnp.asarray(1.0, dt),
         prev_resid=jnp.asarray(jnp.finfo(dt).max, dt),
@@ -464,9 +592,10 @@ def hsde_solve(
     )
     st = lax.while_loop(lambda s: jnp.logical_not(s.done), body, init)
 
+    # Packed once at the solve boundary — the warm-start / caller ABI.
     return {
-        "w": st.w,
-        "u": st.u,
+        "w": jnp.concatenate([st.wx, st.wy, st.wt[None]]),
+        "u": jnp.concatenate([st.ux, st.uy, st.ut[None]]),
         "status": st.status,
         "final_iter": st.k,
         "fp_resid": st.fp_resid,
@@ -474,3 +603,7 @@ def hsde_solve(
         "r_dua": st.r_dua,
         "gap": st.gap,
     }
+
+
+def _nrm2(v):
+    return jnp.sum(v * v)

@@ -397,3 +397,31 @@ def test_loop_body_has_no_collective_permutes(mesh8):
     body_lines = [line for line in txt.splitlines() if "while/body" in line]
     n_permute = sum("collective-permute" in line for line in body_lines)
     assert n_permute == 0, f"{n_permute} collective-permutes in the loop body"
+
+
+def test_hsde_loop_body_has_no_collective_permutes(mesh8):
+    """Same regression for the cone path: the packed u = [x; y; τ]
+    embedding forced 19 per-iteration collective-permutes; the split
+    (ux, uy, uτ) carry must keep the DR body reduce-only."""
+    from pogs_tpu.types import Cone, ConeConstraint
+    from pogs_tpu.solver.cone import ConeSolver, _CONE_SOLVE_CACHE
+
+    m, n = 64, 16
+    rng = np.random.default_rng(31)
+    A = rng.standard_normal((m, n)).astype(np.float32)
+    xstar = rng.standard_normal(n)
+    b = (A @ xstar + np.abs(rng.standard_normal(m))).astype(np.float32)
+    c = (-A.T @ np.abs(rng.standard_normal(m))).astype(np.float32)
+    Ky = [ConeConstraint(Cone.NON_NEG, np.arange(m))]
+    st = SolverSettings(abs_tol=1e-4, rel_tol=1e-3)
+    A_sh = shard_matrix(jnp.asarray(A), mesh8)
+    solver = ConeSolver(A_sh, Ky=Ky, settings=st)
+    n_before = len(_CONE_SOLVE_CACHE)
+    solver.solve(b, c)
+    fn = list(_CONE_SOLVE_CACHE.values())[n_before]
+    args = (solver._init_state, b, c, np.zeros((0, 0), np.float32), 1.0,
+            jnp.zeros((m + n + 1,), jnp.float32))
+    txt = fn.lower(*args).compile().as_text()
+    body_lines = [line for line in txt.splitlines() if "while/body" in line]
+    n_permute = sum("collective-permute" in line for line in body_lines)
+    assert n_permute == 0, f"{n_permute} collective-permutes in the DR body"
