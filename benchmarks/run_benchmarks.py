@@ -32,7 +32,10 @@ from pogs_tpu import (  # noqa: E402
 )
 from benchmarks import problems  # noqa: E402
 
-# Reference timings (Apple M1, README.md:26-34) for the 500×300 table.
+# Historical reference timings (Apple M1, README.md:26-34) for the 500×300
+# table.  These are a LABELED HISTORY column only — measured same-host
+# numbers against the actual reference binary live in
+# benchmarks/head_to_head.py (results.json "head_to_head").
 REFERENCE_MS = {"lasso": 51, "ridge": 8, "logistic": 34,
                 "elastic_net": 45, "svm": 42}
 
@@ -150,7 +153,7 @@ def main():
 
     results = []
     print(f"backend: {jax.devices()[0].platform}\n")
-    print("| Problem | Size | time/solve | batched/solve | iters | ref (M1) | speedup | batched speedup |")
+    print("| Problem | Size | time/solve | batched/solve | iters | ref (M1 hist.) | speedup | batched speedup |")
     print("|---------|------|-----------:|--------------:|------:|---------:|--------:|----------------:|")
     for name in ["lasso", "ridge", "logistic", "elastic_net", "svm"]:
         r = bench_graph(name, reps=args.reps)
@@ -180,11 +183,10 @@ def main():
             print(f"| {r['problem']} | {r['m']}x{r['n']} | {r['ms_warm_call']} ms "
                   f"| {r['iterations']} | {r['status']} |")
 
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "results.json")
-    with open(out_path, "w") as fh:
-        json.dump(results, fh, indent=2)
-    print(f"\nwrote {out_path}")
+    from benchmarks.head_to_head import merge_results
+
+    merge_results("readme_suite", results)
+    print("\nmerged readme_suite rows into benchmarks/results.json")
 
 
 if __name__ == "__main__":
