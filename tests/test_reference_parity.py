@@ -293,3 +293,45 @@ def test_elastic_net_compat_pin():
     # reference's encoding does.
     assert documented_obj(np.asarray(mine["x"])) <= \
         documented_obj(np.asarray(r_ref["x"])) + 1e-6
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_parity_socp_ball(seed):
+    """SOCP with analytic optimum: min cᵀx s.t. ‖x − x₀‖ ≤ r
+    (b − Ax = [r; x − x₀] ∈ SOC with A = [0; −I], b = [r; −x₀])
+    ⇒ x* = x₀ − r·c/‖c‖, optval = cᵀx₀ − r‖c‖.  Kx empty → both
+    solvers take their HSDE branch."""
+    rng = np.random.default_rng(9000 + seed)
+    n = 20
+    x0 = rng.standard_normal(n)
+    c = rng.standard_normal(n)
+    r = 1.0 + rng.random()
+    A = np.vstack([np.zeros((1, n)), -np.eye(n)])
+    b = np.concatenate([[r], -x0])
+    opt = float(c @ x0 - r * np.linalg.norm(c))
+    Ky = [ConeConstraint(Cone.SOC, np.arange(n + 1))]
+    r_ref = ref.ref_solve_cone(A, b, c, Kx=[], Ky=Ky, **REF_CONE_TOL)
+    r_tpu = solve_cone(A, b, c, Kx=(), Ky=Ky, dtype=np.float64,
+                       **REF_CONE_TOL)
+    assert r_ref["status"] == 0
+    assert r_tpu["status"] == 0
+    _agree(r_ref["optval"], opt, rel=1e-2, abs_=1e-2)
+    _agree(r_tpu["optval"], opt, rel=1e-2, abs_=1e-2)
+    _agree(r_ref["optval"], r_tpu["optval"], rel=1e-2, abs_=1e-2)
+
+
+def test_parity_exp_cone():
+    """Exp-cone LP: max r s.t. (r, 1, e) ∈ K_exp ⇒ r* = 1 — both
+    solvers through their HSDE branch with the exponential projection."""
+    e_const = float(np.e)
+    A = np.array([[-1.0], [0.0], [0.0]])
+    b = np.array([0.0, 1.0, e_const])
+    c = np.array([-1.0])
+    Ky = [ConeConstraint(Cone.EXP_PRIMAL, [0, 1, 2])]
+    r_ref = ref.ref_solve_cone(A, b, c, Kx=[], Ky=Ky, **REF_CONE_TOL)
+    r_tpu = solve_cone(A, b, c, Kx=(), Ky=Ky, dtype=np.float64,
+                       **REF_CONE_TOL)
+    assert r_tpu["status"] == 0
+    _agree(r_tpu["optval"], -1.0, rel=1e-2, abs_=1e-2)
+    if r_ref["status"] == 0:
+        _agree(r_ref["optval"], r_tpu["optval"], rel=1e-2, abs_=1e-2)
