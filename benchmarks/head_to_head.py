@@ -284,8 +284,6 @@ def lp_head_to_head(reps=5, m=500, n=300, seed=42):
     # pattern; includes one full host round trip per call)
     kws = dict(dtype=np.float32, abs_tol=1e-4, rel_tol=1e-3, max_iter=20000)
     out = solve_cone(A, b, c, Kx=(), Ky=Ky, **kws)
-    from pogs_tpu.api.cone import ConeSolver  # reuse compiled solver
-
     ts = []
     for i in range(reps):
         t0 = time.perf_counter()
