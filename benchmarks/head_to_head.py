@@ -216,7 +216,8 @@ def run_sklearn(name, p, reps):
         x = np.ravel(mdl2.coef_)
     return {"solver": "sklearn", "ms": float(np.median(ts)),
             "objective": canonical_objective(name, p, x),
-            "iterations": int(np.ravel(getattr(mdl2, "n_iter_", None) or [0])[0]),
+            "iterations": int(np.ravel(n_iter)[0])
+            if (n_iter := getattr(mdl2, "n_iter_", None)) is not None else 0,
             "status": 0}
 
 

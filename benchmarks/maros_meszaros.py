@@ -4,8 +4,8 @@ The reference's maros_benchmark.py depends on an external checkout
 (`~/cvxbench`, reference python/benchmarks/maros_benchmark.py:22-40) that
 is unavailable here (no network).  This module vendors a subset of the
 collection instead: the small classics from the Hock–Schittkowski family
-that Maros & Mészáros included (HS21, HS35, HS52, HS53, HS76, TAME,
-ZECEVIC2), with their published optimal values.
+that Maros & Mészáros included (HS21, HS35, HS51, HS52, HS53, HS76,
+TAME), with their published optimal values.
 
 Each problem is stated in the standard convention
 

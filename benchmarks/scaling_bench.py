@@ -33,6 +33,14 @@ ARTIFACT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "scaling_r2.json")
 
 
+def count_collectives(txt: str, name: str, scope: str = "") -> int:
+    """Count ``name`` collective ops in HLO text (optionally restricted to
+    lines containing ``scope``, e.g. "while/body").  Single source of
+    truth — tests/test_sharding.py imports this."""
+    lines = [l for l in txt.splitlines() if scope in l] if scope else [txt]
+    return sum(len(re.findall(rf"{name}(?:\.\d+)?\(", l)) for l in lines)
+
+
 def collective_counts(solver, f, g, rho0=1.0):
     """Lower the FULL jitted solve program for this (sharded) solver and
     count the collectives GSPMD inserted — structural evidence of the
@@ -53,7 +61,7 @@ def collective_counts(solver, f, g, rho0=1.0):
     txt = fn.lower(solver._init_state, tuple(f.params), tuple(g.params),
                    rho0, {}).compile().as_text()
     return {
-        name: len(re.findall(rf"{name}(?:\.\d+)?\(", txt))
+        name: count_collectives(txt, name)
         for name in ("all-reduce", "all-gather", "reduce-scatter",
                      "collective-permute", "all-to-all")
     }

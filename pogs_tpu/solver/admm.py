@@ -86,6 +86,18 @@ class LoopState(NamedTuple):
     prev_nrm_r: jax.Array
     aa: AndersonState
 
+    # Pre-round-2 compat: the state used to carry packed z/zt arrays.
+    # Read-only views keep external introspection code working.
+    @property
+    def z(self):
+        """Packed [x; y] iterate (round-1 field layout)."""
+        return jnp.concatenate([self.x, self.y])
+
+    @property
+    def zt(self):
+        """Packed [x; y] scaled dual (round-1 field layout)."""
+        return jnp.concatenate([self.xt, self.yt])
+
 
 def _nrm2(v):
     return jnp.sum(v * v)

@@ -70,6 +70,10 @@ K_KAPPA_TOL = 1e-6
 K_CHECK_EVERY = 10
 
 
+def _nrm2(v):
+    return jnp.sum(v * v)
+
+
 def _mv(M, v):
     return jnp.matmul(M, v, precision=_PRECISION)
 
@@ -603,7 +607,3 @@ def hsde_solve(
         "r_dua": st.r_dua,
         "gap": st.gap,
     }
-
-
-def _nrm2(v):
-    return jnp.sum(v * v)

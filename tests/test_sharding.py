@@ -245,9 +245,9 @@ def test_batched_cone_large_batch_reliability():
 # ---------------------------------------------------------------------------
 
 def _count_collective(txt: str, name: str) -> int:
-    import re
+    from benchmarks.scaling_bench import count_collectives
 
-    return len(re.findall(rf"{name}(?:\.\d+)?\(", txt))
+    return count_collectives(txt, name)
 
 
 def test_wide_A_column_sharded_solve(mesh8):
