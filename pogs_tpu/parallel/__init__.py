@@ -1,7 +1,9 @@
 """Multi-chip scaling: meshes, sharded problems, batched λ-paths."""
 
 from pogs_tpu.parallel.mesh import make_mesh, shard_matrix, replicate
-from pogs_tpu.parallel.batch import solve_lasso_path, batched_graph_solve
+from pogs_tpu.parallel.batch import (
+    solve_lasso_path, batched_graph_solve, warm_path_graph_solve,
+)
 
 __all__ = [
     "make_mesh",
@@ -9,4 +11,5 @@ __all__ = [
     "replicate",
     "solve_lasso_path",
     "batched_graph_solve",
+    "warm_path_graph_solve",
 ]

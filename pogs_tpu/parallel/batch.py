@@ -16,6 +16,7 @@ from typing import Optional
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from pogs_tpu.types import Function, FunctionVector, SolverSettings
@@ -158,19 +159,110 @@ def batched_graph_solve(
     return fn(A, tuple(f.params), tuple(g.params), c_batch, e_batch, fb_batch)
 
 
+def warm_path_graph_solve(
+    A,
+    f: FunctionVector,
+    g: FunctionVector,
+    g_c_batch,
+    settings: Optional[SolverSettings] = None,
+):
+    """Sequential WARM-STARTED regularization path as one device program.
+
+    The reference's LassoPath pattern (examples/cpp/lasso_path.cpp:90-106
+    + the implicit warm start at pogs.cpp:573) re-solves per λ on the
+    host; here the whole path is a single ``lax.scan`` whose carry is the
+    warm-start state (z, z̃, ρ) — each λ starts from the previous
+    solution, so a fine grid costs far fewer total iterations than the
+    independent vmap batch (`batched_graph_solve`).  Order the λ values
+    the way a path should be walked (large → small for lasso).
+
+    ``g_c_batch``: (K,) or (K, n) — per-step overrides of ``g.c``.
+    Returns dict of stacked results: x (K, n), optval (K,),
+    iterations (K,), status (K,).
+    """
+    settings = settings or SolverSettings()
+    A = jnp.asarray(A)
+    dt = A.dtype
+    m, n = A.shape
+    c_arr = np.asarray(g_c_batch)
+    K = c_arr.shape[0]
+
+    key = ("warm_path", A.shape, str(dt), f.h.tobytes(), g.h.tobytes(),
+           settings, K)
+    fn = _BATCH_CACHE.get(key)
+    if fn is None:
+        projector = DirectProjector()
+
+        def solve_path(A, f_params, g_params, c_batch):
+            dt = A.dtype
+            f_params = tuple(jnp.asarray(p, dt) for p in f_params)
+            g_params = tuple(jnp.asarray(p, dt) for p in g_params)
+            c_batch = jnp.asarray(c_batch, dt)
+            eq = equilibrate(A)
+            norm_A = norm2_est(eq.A)
+            factor = projector.init(eq.A, s=1.0)
+            f_s = scale_f(_fv(f.h, f_params), eq.d)
+
+            def project_fn(px, py, tol, x_warm):
+                return projector.project(eq.A, factor, px, py, tol, x_warm)
+
+            def step(carry, ck):
+                z0, zt0, rho0 = carry
+                a, b, c, d, e = g_params
+                g_s = scale_g(_fv(g.h, (a, b, ck, d, e)), eq.e)
+
+                def prox_fn(x_in, y_in, rho):
+                    return prox_eval(g_s, x_in, rho), prox_eval(f_s, y_in, rho)
+
+                def eval_fn(x12, y12):
+                    return func_eval(f_s, y12) + func_eval(g_s, x12)
+
+                out = admm_loop(
+                    eq.A, norm_A, eq.d, eq.e, prox_fn, eval_fn, project_fn,
+                    settings, z0, zt0, rho0,
+                )
+                res = {
+                    "x": out["x12"] * eq.e,
+                    "optval": out["optval"],
+                    "iterations": out["final_iter"],
+                    "status": out["status"],
+                }
+                return (out["z"], out["zt"], out["rho"]), res
+
+            z_init = jnp.zeros((m + n,), dt)
+            carry0 = (z_init, z_init, jnp.asarray(settings.rho, dt))
+            _, res = lax.scan(step, carry0, c_batch)
+            return res
+
+        fn = jax.jit(highest_precision(solve_path))
+        _BATCH_CACHE[key] = fn
+
+    npdt = np.dtype(str(dt))
+    c_batch = np.asarray(g_c_batch, npdt)
+    if c_batch.ndim == 1:
+        c_batch = np.broadcast_to(c_batch[:, None], (K, n))
+    return fn(A, tuple(f.params), tuple(g.params), c_batch)
+
+
 def solve_lasso_path(
     A,
     b,
     lambdas,
     settings: Optional[SolverSettings] = None,
     mesh: Optional[Mesh] = None,
+    warm: bool = False,
 ):
-    """Solve the full lasso λ-path in parallel (vmapped over λ)."""
+    """Solve the full lasso λ-path: vmapped-independent by default, or
+    sequentially warm-started (``warm=True``, the reference's LassoPath
+    pattern as one lax.scan program — fewer total iterations on fine
+    grids; λ values should then be ordered large → small)."""
     A = jnp.asarray(A)
     m, n = A.shape
     b = jnp.asarray(b, A.dtype).ravel()
     f = FunctionVector(Function.SQUARE, m, b=b, dtype=A.dtype)
     g = FunctionVector(Function.ABS, n, dtype=A.dtype)
+    if warm:
+        return warm_path_graph_solve(A, f, g, lambdas, settings=settings)
     return batched_graph_solve(A, f, g, lambdas, settings=settings, mesh=mesh)
 
 

@@ -425,3 +425,25 @@ def test_hsde_loop_body_has_no_collective_permutes(mesh8):
     body_lines = [line for line in txt.splitlines() if "while/body" in line]
     n_permute = sum("collective-permute" in line for line in body_lines)
     assert n_permute == 0, f"{n_permute} collective-permutes in the DR body"
+
+
+def test_warm_path_matches_vmap_path():
+    """Sequential warm-started λ-path (lax.scan carry, LassoPath §3.5
+    pattern): same optima as independent solves, far fewer iterations."""
+    from pogs_tpu.parallel.batch import solve_lasso_path
+
+    rng = np.random.default_rng(5)
+    m, n, K = 100, 50, 16
+    A = rng.standard_normal((m, n)).astype(np.float32)
+    b = rng.standard_normal(m).astype(np.float32)
+    lam_max = float(np.max(np.abs(A.T @ b)))
+    lambdas = (np.geomspace(0.5, 0.05, K) * lam_max).astype(np.float32)
+    st = SolverSettings(abs_tol=1e-5, rel_tol=1e-5)
+    vm = solve_lasso_path(A, b, lambdas, settings=st)
+    wm = solve_lasso_path(A, b, lambdas, settings=st, warm=True)
+    assert bool(jnp.all(vm["status"] == 0))
+    assert bool(jnp.all(wm["status"] == 0))
+    np.testing.assert_allclose(np.asarray(wm["optval"]),
+                               np.asarray(vm["optval"]), rtol=2e-3)
+    # Warm starts must pay off substantially on a geometric grid.
+    assert int(jnp.sum(wm["iterations"])) < 0.5 * int(jnp.sum(vm["iterations"]))
