@@ -3,6 +3,7 @@
 from pogs_tpu.parallel.mesh import make_mesh, shard_matrix, replicate
 from pogs_tpu.parallel.batch import (
     solve_lasso_path, batched_graph_solve, warm_path_graph_solve,
+    warm_path_cone_solve,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "solve_lasso_path",
     "batched_graph_solve",
     "warm_path_graph_solve",
+    "warm_path_cone_solve",
 ]

@@ -362,3 +362,78 @@ def batched_cone_solve(
         _CONE_BATCH_CACHE[key] = fn
 
     return fn(A, b_batch, c_batch)
+
+
+def warm_path_cone_solve(
+    A,
+    b_batch,
+    c,
+    Ky,
+    settings: Optional[SolverSettings] = None,
+    strategy: str = "smw",
+):
+    """Sequential WARM-STARTED cone-problem path as one device program.
+
+    The receding-horizon / homotopy pattern: a sequence of problems
+    min cᵀx s.t. b_k − Ax ∈ K_y whose b_k drift gradually (MPC steps,
+    scenario sweeps).  One ``lax.scan`` carries the HSDE embedding u
+    between steps, so each problem starts on the previous solution ray —
+    typically a large iteration saving over independent solves when
+    consecutive b_k are close.
+
+    ``b_batch``: (K, m); ``c``: (n,).  Returns stacked x (K, n),
+    optval (K,), iterations (K,), status (K,).
+    """
+    from pogs_tpu.types import ConeConstraint
+    from pogs_tpu.cones.sets import ConeSet
+    from pogs_tpu.solver.hsde import hsde_solve
+
+    settings = settings or SolverSettings()
+    A = jnp.asarray(A)
+    dt = A.dtype
+    m, n = A.shape
+    b_batch = np.asarray(b_batch, np.dtype(str(dt)))
+    K = b_batch.shape[0]
+    c = np.asarray(c, np.dtype(str(dt)))
+
+    Ky = [k if isinstance(k, ConeConstraint) else ConeConstraint(*k) for k in Ky]
+    Kset = ConeSet(Ky, m)
+
+    key = ("warm_cone_path", A.shape, str(dt),
+           tuple((int(k.cone), k.indices) for k in Ky), settings, strategy, K)
+    fn = _CONE_BATCH_CACHE.get(key)
+    if fn is None:
+        def solve_path(A, bs, c_orig):
+            eq = equilibrate(A, constrain_d=Kset.constrain_average)
+            Aeq = eq.A
+            c_s = jnp.asarray(c_orig, Aeq.dtype) * eq.e
+
+            def step(u_carry, b_orig):
+                b_s = b_orig * eq.d
+                out = hsde_solve(
+                    Aeq, b_s, c_s, Kset, strategy=strategy,
+                    abs_tol=settings.abs_tol, rel_tol=settings.rel_tol,
+                    max_iter=settings.max_iter, u0=u_carry,
+                )
+                w = out["w"]
+                tau = w[n + m]
+                ok = tau > 1e-8
+                tau_safe = jnp.where(ok, tau, 1.0)
+                x_s = w[:n] / tau_safe
+                x = jnp.where(ok, x_s * eq.e, jnp.zeros(n, A.dtype))
+                res = {
+                    "x": x,
+                    "optval": jnp.vdot(jnp.asarray(c_orig, A.dtype), x),
+                    "iterations": out["final_iter"],
+                    "status": out["status"],
+                }
+                return out["u"], res
+
+            u0 = jnp.zeros(n + m + 1, Aeq.dtype).at[n + m].set(1.0)
+            _, res = lax.scan(step, u0, bs)
+            return res
+
+        fn = jax.jit(highest_precision(solve_path))
+        _CONE_BATCH_CACHE[key] = fn
+
+    return fn(A, b_batch, c)

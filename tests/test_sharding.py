@@ -447,3 +447,30 @@ def test_warm_path_matches_vmap_path():
                                np.asarray(vm["optval"]), rtol=2e-3)
     # Warm starts must pay off substantially on a geometric grid.
     assert int(jnp.sum(wm["iterations"])) < 0.5 * int(jnp.sum(vm["iterations"]))
+
+
+def test_warm_cone_path_matches_batch():
+    """Warm-started cone path (HSDE u carried through lax.scan): same
+    optima as independent scenario solves, far fewer iterations on a
+    drifting-b sequence (receding-horizon pattern)."""
+    from pogs_tpu.parallel.batch import batched_cone_solve, warm_path_cone_solve
+    from pogs_tpu.types import Cone, ConeConstraint
+
+    rng = np.random.default_rng(1)
+    m, n, K = 60, 30, 16
+    A = rng.standard_normal((m, n)).astype(np.float32)
+    xstar = rng.standard_normal(n)
+    b0 = (A @ xstar + np.abs(rng.standard_normal(m))).astype(np.float32)
+    c = (-A.T @ np.abs(rng.standard_normal(m))).astype(np.float32)
+    drift = rng.standard_normal((K, m)).astype(np.float32) * 0.02
+    b_seq = b0[None, :] * (1 + np.cumsum(drift, axis=0) * 0.1)
+    Ky = [ConeConstraint(Cone.NON_NEG, np.arange(m))]
+    st = SolverSettings(abs_tol=1e-4, rel_tol=1e-3, max_iter=20000)
+    vm = batched_cone_solve(A, b_seq, c, Ky, settings=st)
+    wm = warm_path_cone_solve(A, b_seq, c, Ky, settings=st)
+    assert bool(jnp.all(vm["status"] == 0))
+    assert bool(jnp.all(wm["status"] == 0))
+    rel = np.abs(np.asarray(vm["optval"]) - np.asarray(wm["optval"])) / \
+        np.maximum(np.abs(np.asarray(vm["optval"])), 1.0)
+    assert float(rel.max()) < 1e-2  # both within their own tol bands
+    assert int(jnp.sum(wm["iterations"])) < 0.5 * int(jnp.sum(vm["iterations"]))
