@@ -335,3 +335,26 @@ def test_parity_exp_cone():
     _agree(r_tpu["optval"], -1.0, rel=1e-2, abs_=1e-2)
     if r_ref["status"] == 0:
         _agree(r_ref["optval"], r_tpu["optval"], rel=1e-2, abs_=1e-2)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_parity_native_runtime_vs_reference(seed):
+    """Triangle closure: the repo's own native C++ runtime vs the actual
+    reference binary (both host CPU, no accelerator in the loop)."""
+    from pogs_tpu import native as nat
+
+    if not nat.is_available():
+        pytest.skip("native runtime not built")
+    rng = np.random.default_rng(11000 + seed)
+    m, n = 60, 30
+    A = rng.standard_normal((m, n))
+    b = rng.standard_normal(m)
+    lam = 0.2 * np.max(np.abs(A.T @ b))
+    f = FunctionVector(Function.SQUARE, m, b=b, dtype=np.float64)
+    g = FunctionVector(Function.ABS, n, c=lam, dtype=np.float64)
+    r_ref = ref.ref_solve_graph(A, f, g, **TOL)
+    r_nat = nat.solve_graph_native(A, f, g, abs_tol=1e-4, rel_tol=1e-4,
+                                   max_iter=4000)
+    assert r_ref["status"] == 0
+    assert int(r_nat["status"]) == 0
+    _agree(r_ref["optval"], r_nat["optval"])
