@@ -38,6 +38,29 @@ def main(n=12, K=16):
         assert abs(got - expect) < 1e-3 * (1 + abs(expect))
     assert bool(ok.all())
 
+    # Receding-horizon variant: a SEQUENCE of drifting operating points,
+    # solved as one lax.scan with the HSDE embedding carried between
+    # steps (warm_path_cone_solve) — the MPC re-solve pattern.
+    banner("Receding-horizon warm path: drifting operating point")
+    from pogs_tpu.parallel.batch import warm_path_cone_solve
+
+    steps = 16
+    drift = np.cumsum(0.05 * rng.standard_normal((steps, n)), axis=0)
+    x0_seq = (x0s[0][None, :] + drift).astype(np.float32)
+    b_seq = np.concatenate([np.full((steps, 1), r, np.float32), -x0_seq],
+                           axis=1)
+    warm = warm_path_cone_solve(A, b_seq, c, Ky, settings=st)
+    cold = batched_cone_solve(A, b_seq, c, Ky, settings=st)
+    wi = int(np.sum(np.asarray(warm["iterations"])))
+    ci = int(np.sum(np.asarray(cold["iterations"])))
+    print(f"  warm path: {wi} total iterations vs {ci} independent "
+          f"({ci / max(wi, 1):.1f}x fewer)")
+    for k in range(0, steps, steps // 4):
+        expect = float(c @ x0_seq[k] - r * np.linalg.norm(c))
+        got = float(warm["optval"][k])
+        assert abs(got - expect) < 5e-3 * (1 + abs(expect)), (k, got, expect)
+    assert bool((np.asarray(warm["status"]) == 0).all())
+
 
 if __name__ == "__main__":
     main()
