@@ -287,3 +287,90 @@ def test_random_batched_matches_individual(seed):
         assert int(out["iterations"][k]) == int(ref.final_iter), (seed, k)
         assert float(out["optval"][k]) == pytest.approx(
             float(ref.optval), rel=1e-3, abs=1e-4), (seed, k)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_qp_three_way(native, seed):
+    """Random inequality QPs agree three ways: the Python epigraph-SOC
+    path, the native C++ QP entry (cached Cholesky of P+ρI), and the
+    scipy SLSQP oracle — on KKT-constructed problems with known optima."""
+    minimize = pytest.importorskip("scipy.optimize").minimize
+
+    rng = np.random.default_rng(20_000 + seed)
+    m, n = 30, 12
+    A = rng.standard_normal((m, n))
+    M = rng.standard_normal((n, n))
+    P = M @ M.T / n + (0.2 + rng.random()) * np.eye(n)
+    xstar = rng.standard_normal(n)
+    act = rng.permutation(m)[: rng.integers(1, n)]
+    mask = np.zeros(m, dtype=bool)
+    mask[act] = True
+    ystar = np.where(mask, np.abs(rng.standard_normal(m)) + 0.3, 0.0)
+    sstar = np.where(mask, 0.0, np.abs(rng.standard_normal(m)) + 0.3)
+    b = A @ xstar + sstar
+    c = -(P @ xstar) - A.T @ ystar
+    opt = float(0.5 * xstar @ P @ xstar + c @ xstar)
+
+    # scipy oracle on the same data
+    res = minimize(lambda x: 0.5 * x @ P @ x + c @ x, np.zeros(n),
+                   jac=lambda x: P @ x + c,
+                   constraints=[{"type": "ineq",
+                                 "fun": lambda x: b - A @ x,
+                                 "jac": lambda x: -A}],
+                   method="SLSQP", options={"maxiter": 300, "ftol": 1e-12})
+    assert res.fun == pytest.approx(opt, rel=1e-6, abs=1e-6)
+
+    from pogs_tpu.api.cone import solve_cone
+    from pogs_tpu.types import Cone, ConeConstraint, SolverSettings
+
+    Ky = [ConeConstraint(Cone.NON_NEG, np.arange(m))]
+    r_py = solve_cone(A, b, c, Kx=(), Ky=Ky, P=P, dtype=np.float64,
+                      abs_tol=1e-6, rel_tol=1e-6, max_iter=20000)
+    assert r_py["status"] == 0
+    assert r_py["optval"] == pytest.approx(opt, rel=1e-3, abs=1e-3)
+
+    st = SolverSettings(abs_tol=1e-6, rel_tol=1e-6, max_iter=20000)
+    r_nat = native.NativeConeSolver(A, Ky=Ky, P=P).solve(b, c, settings=st)
+    assert int(r_nat["status"]) == 0
+    assert r_nat["optval"] == pytest.approx(opt, rel=1e-3, abs=1e-3)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_random_sdp_native_vs_python(native, seed):
+    """Random linear-SDP (trace + one random linear constraint): native
+    Jacobi-eigensolver cone vs the Python batched-eigh path."""
+    from pogs_tpu.api.cone import solve_cone
+    from pogs_tpu.types import Cone, ConeConstraint, SolverSettings
+
+    rng = np.random.default_rng(21_000 + seed)
+    d = 3 + seed % 2
+    L = d * (d + 1) // 2
+
+    def svec(S):
+        out = []
+        for col in range(d):
+            for row in range(col, d):
+                out.append(S[row, col] * (1.0 if row == col else np.sqrt(2.0)))
+        return np.asarray(out)
+
+    C = rng.standard_normal((d, d))
+    C = (C + C.T) / 2
+    B = rng.standard_normal((d, d))
+    B = (B + B.T) / 2
+    A = np.vstack([svec(np.eye(d)), svec(B)])
+    b = np.array([1.0, 0.2 * rng.standard_normal()])
+    c = svec(C)
+    Kx = [ConeConstraint(Cone.SDP, range(L))]
+    Ky = [ConeConstraint(Cone.ZERO, [0, 1])]
+    st = SolverSettings(abs_tol=1e-6, rel_tol=1e-6, max_iter=40000)
+    r_nat = native.NativeConeSolver(A, Kx=Kx, Ky=Ky).solve(b, c, settings=st)
+    r_py = solve_cone(A, b, c, Kx=Kx, Ky=Ky, dtype=np.float64,
+                      abs_tol=1e-6, rel_tol=1e-6, max_iter=40000,
+                      assume_svec=True)
+    # Feasibility of the constructed problem is not guaranteed for every
+    # random B/b draw — but BOTH implementations must agree on the verdict
+    # and (when solvable) the value.
+    assert int(r_nat["status"]) == int(r_py["status"])
+    if int(r_py["status"]) == 0:
+        assert r_nat["optval"] == pytest.approx(r_py["optval"], rel=5e-3,
+                                                abs=5e-3)
