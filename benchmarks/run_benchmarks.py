@@ -138,6 +138,42 @@ def bench_graph(name, m=500, n=300, reps=30, seed=42):
             if name in REFERENCE_MS else None}
 
 
+def bench_xl(m=30000, n=8000, reps=3, seed=1):
+    """Single-chip XL solve: ~1 GB dense matrix, HBM-roofline regime.
+    (40000x10000 exceeds the 16 GB HBM with the solver's working set —
+    shard over a mesh for larger problems.)"""
+    import jax
+
+    from pogs_tpu import GraphFormSolver
+
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((m, n)).astype(np.float32)
+    x_true = rng.standard_normal(n)
+    x_true[rng.random(n) < 0.95] = 0
+    b = (A @ x_true + 0.1 * rng.standard_normal(m)).astype(np.float32)
+    lam = 0.1 * float(np.max(np.abs(A.T @ b)))
+    st = SolverSettings(abs_tol=1e-4, rel_tol=1e-3, gap_stop=False)
+    f = FunctionVector(Function.SQUARE, m, b=b, dtype=jnp.float32)
+    g = FunctionVector(Function.ABS, n, c=lam, dtype=jnp.float32)
+    solver = GraphFormSolver(A, dtype=jnp.float32, settings=st)
+    res = solver.solve(f, g)
+    ts = []
+    for r in range(reps):
+        solver.reset_warm_start()
+        t0 = time.perf_counter()
+        res = solver.solve(f, g, rho=1.0 + 1e-4 * (r + 1))
+        ts.append(time.perf_counter() - t0)
+    it = int(res.final_iter)
+    ms = min(ts) * 1e3
+    gb_per_iter = 2.5 * m * n * 4 / 1e9  # ~2.5 A-passes/iteration
+    peak = 819.0  # v5e HBM GB/s
+    return {"problem": "lasso_xl", "m": m, "n": n, "ms": round(ms, 1),
+            "iterations": it, "ms_per_iter": round(ms / it, 3),
+            "roofline_frac": round(gb_per_iter / (ms / it / 1e3) / peak, 3),
+            "status": res.status.name,
+            "backend": jax.devices()[0].platform}
+
+
 def bench_cone(name, reps=10, **kw):
     gen = getattr(problems, name)
     p = gen(**kw)
@@ -159,6 +195,8 @@ def main():
     ap.add_argument("--sizes", action="store_true",
                     help="also run the lasso size ladder (500..4000 rows)")
     ap.add_argument("--cone", action="store_true", help="run cone-form suite")
+    ap.add_argument("--xl", action="store_true",
+                    help="single-chip XL lasso (30000x8000, ~1 GB matrix)")
     ap.add_argument("--reps", type=int, default=30)
     args = ap.parse_args()
 
@@ -182,6 +220,13 @@ def main():
         r = bench_graph("tv_denoising", n=1000, reps=max(args.reps // 3, 5))
         results.append(r)
         print(f"| tv_denoising | n=1000 | {r['ms']:.2f} ms | {r['iterations']} | — | — |")
+
+    if args.xl:
+        r = bench_xl()
+        results.append(r)
+        print(f"| lasso XL | {r['m']}x{r['n']} | {r['ms']:.0f} ms "
+              f"({r['ms_per_iter']:.2f} ms/iter, ~{r['roofline_frac']:.0%} "
+              f"of HBM roofline) | {r['iterations']} iters |")
 
     if args.cone:
         print("\n| Cone problem | Size | warm call | iters | status |")
