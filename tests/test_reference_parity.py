@@ -358,3 +358,37 @@ def test_parity_native_runtime_vs_reference(seed):
     assert r_ref["status"] == 0
     assert int(r_nat["status"]) == 0
     _agree(r_ref["optval"], r_nat["optval"])
+
+
+def test_parity_infeasible_certificate():
+    """Both solvers must flag primal infeasibility (status 1) on an LP
+    with contradictory rows: x ≤ -1 and x ≥ 1 (enum values ABI-matched)."""
+    A = np.array([[1.0], [-1.0]])
+    b = np.array([-1.0, -1.0])  # x <= -1  and  -x <= -1
+    c = np.array([1.0])
+    Ky = [ConeConstraint(Cone.NON_NEG, [0, 1])]
+    r_ref = ref.ref_solve_cone(A, b, c, Kx=[], Ky=Ky, **REF_CONE_TOL)
+    r_tpu = solve_cone(A, b, c, Kx=(), Ky=Ky, dtype=np.float64,
+                       **REF_CONE_TOL)
+    assert r_tpu["status"] == 1, r_tpu["status_name"]
+    assert r_ref["status"] == 1
+
+
+def test_parity_unbounded_certificate():
+    """Unboundedness detection: min -x s.t. x ≥ 0.
+
+    The TPU solver must certify UNBOUNDED (status 2).  Upstream behavior
+    pinned: the reference's HSDE misses this trivial certificate and
+    exhausts max_iter (its τ→0 test at pogs.cpp:1826 checks ‖Ax̂‖ = 0,
+    which only holds when every row is a Zero cone — the recession-cone
+    fix in hsde.py handles NonNeg rows).  Whatever it returns, it must
+    not claim SUCCESS."""
+    A = np.array([[-1.0]])
+    b = np.array([0.0])  # -(-x) = x >= 0
+    c = np.array([-1.0])
+    Ky = [ConeConstraint(Cone.NON_NEG, [0])]
+    r_ref = ref.ref_solve_cone(A, b, c, Kx=[], Ky=Ky, **REF_CONE_TOL)
+    r_tpu = solve_cone(A, b, c, Kx=(), Ky=Ky, dtype=np.float64,
+                       **REF_CONE_TOL)
+    assert r_tpu["status"] == 2, r_tpu["status_name"]
+    assert r_ref["status"] != 0  # upstream: MAX_ITER today, UNBOUNDED if fixed
