@@ -289,7 +289,10 @@ def _kernel_body(
             jnp.where(done_now, k, k + 1),
             sel(rho_new, rho), sel(delta_new, delta), sel(xi_new, xi),
             sel(kd_new, kd), sel(ku_new, ku), sel(nrm_r, prev_nrm_r),
-            done_now, converged_now, nan_now, x12, y12, zprev_x, zprev_y,
+            done_now,
+            jnp.where(done, converged, converged_now),
+            jnp.where(done, nan_found, nan_now),
+            x12, y12, zprev_x, zprev_y,
             nrm_r, nrm_s, gap, eps_pri, eps_dua,
         )
 

@@ -95,10 +95,59 @@ def batched_graph_solve(
     if fb_kind == "lane_vec" and fb_arg.shape != (K, m):
         raise ValueError(f"f_b_batch must be (K, m) = {(K, m)}")
 
+    # Fused batched kernel (ops/fused_admm_batch.py): the whole λ-sweep
+    # chunked through VMEM-resident Pallas kernels — ~2x the vmapped XLA
+    # loop on TPU (0.05 vs 0.11 ms/solve at 500×300, K=128).  Auto on TPU
+    # f32 for the shared-f λ-sweep pattern; use_fused=True forces
+    # (interpret mode off-TPU), use_fused=False opts out.
+    from pogs_tpu.ops.fused_admm_batch import batched_chunk_for
+
+    fused = (
+        settings.use_fused is not False
+        and mesh is None
+        and fb_kind == "shared" and e_kind == "shared"
+        and c_kind in ("lane_scalar", "lane_vec")
+        and not settings.use_anderson and not settings.use_exact_tol
+        and settings.verbose <= 1
+        and jnp.dtype(dt) == jnp.float32
+        and batched_chunk_for(m, n, dt) > 0
+        and (settings.use_fused or jax.default_backend() == "tpu")
+    )
+
     key = (A.shape, str(dt), f.h.tobytes(), g.h.tobytes(), settings, K,
-           c_kind, e_kind, fb_kind,
+           c_kind, e_kind, fb_kind, fused,
            mesh if mesh is None else (tuple(mesh.shape.items()), batch_axis))
     fn = _BATCH_CACHE.get(key)
+    if fn is None and fused:
+        from pogs_tpu.ops.fused_admm_batch import fused_batched_lasso_sweep
+
+        def solve_all_fused(A, f_params, g_params, c_batch, e_batch, fb_batch):
+            dt = A.dtype
+            f_params = tuple(jnp.asarray(p, dt) for p in f_params)
+            g_params = tuple(jnp.asarray(p, dt) for p in g_params)
+            eq = equilibrate(A)
+            norm_A = norm2_est(eq.A)
+            factor = DirectProjector(method="inverse").init(eq.A, s=1.0)
+            f_s = scale_f(_fv(f.h, f_params), eq.d)
+            g_s = scale_g(_fv(g.h, g_params), eq.e)
+            cb = jnp.asarray(c_batch, dt)
+            if cb.ndim == 1:
+                cb = jnp.broadcast_to(cb[:, None], (K, n))
+            out = fused_batched_lasso_sweep(
+                eq.A, factor["op"], norm_A, f.h, tuple(f_s.params),
+                g.h, tuple(g_s.params), cb, settings,
+                jnp.asarray(settings.rho, dt),
+            )
+            return {
+                "x": out["x12"] * eq.e[None, :],
+                "y": out["y12"] / eq.d[None, :],
+                "optval": out["optval"],
+                "iterations": out["final_iter"],
+                "status": out["status"],
+            }
+
+        fn = jax.jit(highest_precision(solve_all_fused))
+        _BATCH_CACHE[key] = fn
     if fn is None:
         projector = DirectProjector()
 

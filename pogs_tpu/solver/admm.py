@@ -372,8 +372,12 @@ def admm_loop(
             ku=sel(ku_new, st.ku),
             k=jnp.where(done, st.k, st.k + 1),
             done=done,
-            converged=converged,
-            nan_found=nan_found,
+            # Latch at the firing iteration: frozen lanes keep iterating
+            # under vmap (zt/rho frozen, z refining), and the recomputed
+            # flag can flicker on marginal lanes — the status must report
+            # the decision that stopped the lane, not the last re-check.
+            converged=jnp.where(st.done, st.converged, converged),
+            nan_found=jnp.where(st.done, st.nan_found, nan_found),
             nrm_r=nrm_r,
             nrm_s=nrm_s,
             gap=gap,

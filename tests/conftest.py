@@ -30,3 +30,26 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """XLA-CPU segfault mitigation (see tests/README note in conftest):
+    with the full 300+-test suite in one process, late sparse (BCOO)
+    solves segfault inside compiled executables — an accumulated-state
+    issue in the CPU runtime (crash site moves with suite composition;
+    subsets always pass; memory is plentiful).  Dropping executable
+    references between modules keeps the live-program count bounded.
+    The persistent compilation cache makes the recompiles cheap."""
+    yield
+    import pogs_tpu.solver.graph as _g
+    import pogs_tpu.solver.cone as _c
+    import pogs_tpu.parallel.batch as _b
+
+    _g._SOLVE_CACHE.clear()
+    _g._INIT_CACHE.clear()
+    _c._CONE_SOLVE_CACHE.clear()
+    _c._CONE_INIT_CACHE.clear()
+    _b._BATCH_CACHE.clear()
+    _b._CONE_BATCH_CACHE.clear()
+    jax.clear_caches()

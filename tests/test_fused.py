@@ -174,3 +174,60 @@ def test_fused_warm_start_lambda_path(rng):
     assert iters["fused"] == iters["xla"]
     # Warm-started continuation converges faster than the cold solve.
     assert min(iters["fused"][1:]) <= iters["fused"][0]
+
+
+def test_fused_batched_sweep_matches_vmap():
+    """Chunked batched fused kernel (ops/fused_admm_batch.py) through the
+    batched_graph_solve front end: lane-for-lane trajectory parity with
+    the vmapped XLA loop (iterations + statuses identical)."""
+    from pogs_tpu.parallel.batch import batched_graph_solve
+
+    rng = np.random.default_rng(0)
+    m, n, K = 100, 60, 10
+    A = rng.standard_normal((m, n)).astype(np.float32)
+    b = rng.standard_normal(m).astype(np.float32)
+    lam_max = float(np.max(np.abs(A.T @ b)))
+    lambdas = (np.geomspace(0.5, 0.1, K) * lam_max).astype(np.float32)
+    f = FunctionVector(Function.SQUARE, m, b=b, dtype=jnp.float32)
+    g = FunctionVector(Function.ABS, n, dtype=jnp.float32)
+    st_x = SolverSettings(abs_tol=1e-4, rel_tol=1e-3, gap_stop=False,
+                          use_fused=False)
+    st_f = SolverSettings(abs_tol=1e-4, rel_tol=1e-3, gap_stop=False,
+                          use_fused=True)
+    ref = batched_graph_solve(A, f, g, lambdas, settings=st_x)
+    fus = batched_graph_solve(A, f, g, lambdas, settings=st_f)
+    np.testing.assert_array_equal(np.asarray(ref["iterations"]),
+                                  np.asarray(fus["iterations"]))
+    np.testing.assert_array_equal(np.asarray(ref["status"]),
+                                  np.asarray(fus["status"]))
+    np.testing.assert_allclose(np.asarray(fus["x"]), np.asarray(ref["x"]),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(fus["optval"]),
+                               np.asarray(ref["optval"]), rtol=1e-3)
+
+
+def test_fused_batched_chunk_padding():
+    """K not a multiple of the chunk size: padded lanes are dropped and
+    real lanes still match the XLA path."""
+    from pogs_tpu.ops.fused_admm_batch import batched_chunk_for
+    from pogs_tpu.parallel.batch import batched_graph_solve
+
+    rng = np.random.default_rng(3)
+    m, n, K = 60, 40, 5  # chunk will be > K -> single padded chunk
+    assert batched_chunk_for(m, n, jnp.float32) >= 8
+    A = rng.standard_normal((m, n)).astype(np.float32)
+    b = rng.standard_normal(m).astype(np.float32)
+    lambdas = np.linspace(1.0, 0.2, K).astype(np.float32)
+    f = FunctionVector(Function.SQUARE, m, b=b, dtype=jnp.float32)
+    g = FunctionVector(Function.ABS, n, dtype=jnp.float32)
+    st_x = SolverSettings(abs_tol=1e-4, rel_tol=1e-3, gap_stop=False,
+                          use_fused=False)
+    st_f = SolverSettings(abs_tol=1e-4, rel_tol=1e-3, gap_stop=False,
+                          use_fused=True)
+    ref = batched_graph_solve(A, f, g, lambdas, settings=st_x)
+    fus = batched_graph_solve(A, f, g, lambdas, settings=st_f)
+    assert np.asarray(fus["x"]).shape == (K, n)
+    np.testing.assert_array_equal(np.asarray(ref["iterations"]),
+                                  np.asarray(fus["iterations"]))
+    np.testing.assert_allclose(np.asarray(fus["optval"]),
+                               np.asarray(ref["optval"]), rtol=1e-3)
