@@ -231,3 +231,30 @@ def test_fused_batched_chunk_padding():
                                   np.asarray(fus["iterations"]))
     np.testing.assert_allclose(np.asarray(fus["optval"]),
                                np.asarray(ref["optval"]), rtol=1e-3)
+
+
+def test_fused_batched_wide_matrix():
+    """Wide (m < n) chunked batched kernel takes the Woodbury branch —
+    parity with the vmapped XLA loop."""
+    from pogs_tpu.parallel.batch import batched_graph_solve
+
+    rng = np.random.default_rng(11)
+    m, n, K = 40, 90, 6
+    A = rng.standard_normal((m, n)).astype(np.float32)
+    b = rng.standard_normal(m).astype(np.float32)
+    lam_max = float(np.max(np.abs(A.T @ b)))
+    lambdas = (np.geomspace(0.6, 0.2, K) * lam_max).astype(np.float32)
+    f = FunctionVector(Function.SQUARE, m, b=b, dtype=jnp.float32)
+    g = FunctionVector(Function.ABS, n, dtype=jnp.float32)
+    st_x = SolverSettings(abs_tol=1e-4, rel_tol=1e-3, gap_stop=False,
+                          use_fused=False)
+    st_f = SolverSettings(abs_tol=1e-4, rel_tol=1e-3, gap_stop=False,
+                          use_fused=True)
+    ref = batched_graph_solve(A, f, g, lambdas, settings=st_x)
+    fus = batched_graph_solve(A, f, g, lambdas, settings=st_f)
+    np.testing.assert_array_equal(np.asarray(ref["iterations"]),
+                                  np.asarray(fus["iterations"]))
+    np.testing.assert_array_equal(np.asarray(ref["status"]),
+                                  np.asarray(fus["status"]))
+    np.testing.assert_allclose(np.asarray(fus["optval"]),
+                               np.asarray(ref["optval"]), rtol=2e-3)
