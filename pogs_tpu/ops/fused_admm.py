@@ -43,6 +43,8 @@ from pogs_tpu.prox.scalar import PROX, FUNC
 from pogs_tpu.solver.admm import (
     K_DELTA_MIN, K_GAMMA, K_TAU, K_KAPPA,
     K_RHO_MIN, K_RHO_MAX, K_RHO_MIN_F32, K_RHO_MAX_F32,
+    K_SPEC_CHANGE_MAX, K_SPEC_CHANGE_MIN, K_SPEC_FREQ, K_SPEC_IMB_THRESH,
+    K_SPEC_MIN_DELTA,
 )
 
 _LANE = 128
@@ -236,16 +238,19 @@ def _kernel_body(
             rho_max = K_RHO_MAX_F32 if dt == jnp.float32 else K_RHO_MAX
             pri_n = nrm_r / eps_pri
             dua_n = nrm_s / eps_dua
-            spec_slot = (k > 0) & (k % 50 == 0) & (eps_pri > 0) & (eps_dua > 0)
+            spec_slot = ((k > 0) & (k % K_SPEC_FREQ == 0)
+                         & (eps_pri > 0) & (eps_dua > 0))
             safe_dua = jnp.where(dua_n == 0, jnp.ones_like(dua_n), dua_n)
             imb = pri_n / safe_dua
-            spec_cond = (
-                (pri_n > 0) & (dua_n > 0) & ((imb > 10.0) | (imb < 0.1))
-            )
-            rho_ratio = jnp.clip(jnp.sqrt(imb), 0.67, 1.5)
+            spec_cond = ((pri_n > 0) & (dua_n > 0)
+                         & ((imb > K_SPEC_IMB_THRESH)
+                            | (imb < 1.0 / K_SPEC_IMB_THRESH)))
+            rho_ratio = jnp.clip(jnp.sqrt(imb), K_SPEC_CHANGE_MIN,
+                                 K_SPEC_CHANGE_MAX)
             rho_spec = jnp.clip(rho * rho_ratio, rho_min, rho_max)
             spec_apply = (
-                spec_slot & spec_cond & (jnp.abs(rho_spec - rho) / rho > 0.05)
+                spec_slot & spec_cond
+                & (jnp.abs(rho_spec - rho) / rho > K_SPEC_MIN_DELTA)
             )
 
             kf = k.astype(dt)

@@ -33,14 +33,15 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from pogs_tpu.types import Function, SolverSettings, Status
+from pogs_tpu.types import SolverSettings, Status
 from pogs_tpu.ops.fused_admm import (
-    _LANE, _masked_apply, _mm, _pad_h, _pad_params, _pad_vec, pad_to,
+    _LANE, _masked_apply, _mm, _pad_h, _pad_params, pad_to,
 )
 from pogs_tpu.prox.scalar import FUNC, PROX
 from pogs_tpu.solver.admm import (
     K_DELTA_MIN, K_GAMMA, K_KAPPA, K_RHO_MAX, K_RHO_MAX_F32, K_RHO_MIN,
-    K_RHO_MIN_F32, K_TAU,
+    K_RHO_MIN_F32, K_SPEC_CHANGE_MAX, K_SPEC_CHANGE_MIN, K_SPEC_FREQ,
+    K_SPEC_IMB_THRESH, K_SPEC_MIN_DELTA, K_TAU,
 )
 
 # Same ×4 scoped-VMEM model as fused_admm.py, boundary-probed on v5e.
@@ -216,14 +217,19 @@ def _kernel_body(
             rho_max = K_RHO_MAX_F32 if dt == jnp.float32 else K_RHO_MAX
             pri_n = nrm_r / eps_pri
             dua_n = nrm_s / eps_dua
-            spec_slot = (k > 0) & (k % 50 == 0) & (eps_pri > 0) & (eps_dua > 0)
+            spec_slot = ((k > 0) & (k % K_SPEC_FREQ == 0)
+                         & (eps_pri > 0) & (eps_dua > 0))
             safe_dua = jnp.where(dua_n == 0, jnp.ones_like(dua_n), dua_n)
             imb = pri_n / safe_dua
-            spec_cond = (pri_n > 0) & (dua_n > 0) & ((imb > 10.0) | (imb < 0.1))
-            rho_ratio = jnp.clip(jnp.sqrt(imb), 0.67, 1.5)
+            spec_cond = ((pri_n > 0) & (dua_n > 0)
+                         & ((imb > K_SPEC_IMB_THRESH)
+                            | (imb < 1.0 / K_SPEC_IMB_THRESH)))
+            rho_ratio = jnp.clip(jnp.sqrt(imb), K_SPEC_CHANGE_MIN,
+                                 K_SPEC_CHANGE_MAX)
             rho_spec = jnp.clip(rho * rho_ratio, rho_min, rho_max)
             spec_apply = (
-                spec_slot & spec_cond & (jnp.abs(rho_spec - rho) / rho > 0.05)
+                spec_slot & spec_cond
+                & (jnp.abs(rho_spec - rho) / rho > K_SPEC_MIN_DELTA)
             )
 
             kf = k.astype(dt)
@@ -275,7 +281,10 @@ def _kernel_body(
             jnp.where(was_done, converged, converged_now),
             jnp.where(was_done, nan_found, nan_now),
             x12, y12, zprev_x, zprev_y,
-            jnp.where(keep, opt_o, optval),
+            # Latch at the FIRING iteration like converged/nan (keep would
+            # report the pre-stopping iterate's objective, and 0.0 for a
+            # lane converging at k = 0).
+            jnp.where(was_done, opt_o, optval),
         )
 
     zKx = jnp.zeros((Kc, Np), dt)

@@ -81,8 +81,13 @@ def batched_graph_solve(
     # solve (measured 92 ms fixed vs 68 µs/iteration of actual compute
     # for a K=128, 500×300 batch).
     def _mode(arr, shared, per_lane_scalar_ok=True):
-        """(host_array, vmap_axis, kind) for one batch argument."""
+        """(array, vmap_axis, kind) for one batch argument.  Shared args
+        that already live on device pass through untouched — np.asarray
+        on a jax.Array is a BLOCKING device-to-host copy that would
+        serialize every pipelined dispatch."""
         if arr is None:
+            if isinstance(shared, jax.Array):
+                return shared, None, "shared"
             return np.asarray(shared, npdt), None, "shared"
         arr = np.asarray(arr, npdt)
         if arr.ndim == 1 and per_lane_scalar_ok:
@@ -317,6 +322,11 @@ def solve_lasso_path(
     f = FunctionVector(Function.SQUARE, m, b=b, dtype=A.dtype)
     g = FunctionVector(Function.ABS, n, dtype=A.dtype)
     if warm:
+        if mesh is not None:
+            raise ValueError(
+                "warm=True runs a sequential scan on one device; mesh "
+                "sharding applies to the independent (warm=False) batch"
+            )
         return warm_path_graph_solve(A, f, g, lambdas, settings=settings)
     return batched_graph_solve(A, f, g, lambdas, settings=settings, mesh=mesh)
 
@@ -470,6 +480,9 @@ def warm_path_cone_solve(
                     Aeq, b_s, c_s, Kset, strategy=strategy,
                     abs_tol=settings.abs_tol, rel_tol=settings.rel_tol,
                     max_iter=settings.max_iter, u0=u_carry,
+                    use_anderson=settings.use_anderson,
+                    anderson_mem=settings.anderson_mem,
+                    anderson_start=settings.anderson_start,
                 )
                 w = out["w"]
                 tau = w[n + m]

@@ -57,6 +57,14 @@ K_RHO_MAX = 1e4
 K_RHO_MIN_F32 = 1e-2
 K_RHO_MAX_F32 = 1e2
 K_KAPPA = 0.9
+# Spectral-update schedule, normal (non-exact-tol) mode (pogs.cpp:401-438).
+# The exact-tol mode uses (10, 0.5, 2.0, 5.0) — see the body below.  The
+# fused kernels (ops/fused_admm*.py) import THESE names; keep in sync.
+K_SPEC_FREQ = 50
+K_SPEC_CHANGE_MIN = 0.67
+K_SPEC_CHANGE_MAX = 1.5
+K_SPEC_IMB_THRESH = 10.0
+K_SPEC_MIN_DELTA = 0.05
 
 
 class LoopState(NamedTuple):
@@ -270,10 +278,10 @@ def admm_loop(
         if settings.adaptive_rho:
             rho_min = K_RHO_MIN_F32 if dt == jnp.float32 else K_RHO_MIN
             rho_max = K_RHO_MAX_F32 if dt == jnp.float32 else K_RHO_MAX
-            freq = 10 if exact_mode else 50
-            change_max = jnp.asarray(2.0 if exact_mode else 1.5, dt)
-            change_min = jnp.asarray(0.5 if exact_mode else 0.67, dt)
-            imb_thresh = jnp.asarray(5.0 if exact_mode else 10.0, dt)
+            freq = 10 if exact_mode else K_SPEC_FREQ
+            change_max = jnp.asarray(2.0 if exact_mode else K_SPEC_CHANGE_MAX, dt)
+            change_min = jnp.asarray(0.5 if exact_mode else K_SPEC_CHANGE_MIN, dt)
+            imb_thresh = jnp.asarray(5.0 if exact_mode else K_SPEC_IMB_THRESH, dt)
 
             pri_n = nrm_r / eps_pri
             dua_n = nrm_s / eps_dua
@@ -286,7 +294,8 @@ def admm_loop(
             )
             rho_ratio = jnp.clip(jnp.sqrt(imb), change_min, change_max)
             rho_spec = jnp.clip(rho * rho_ratio, rho_min, rho_max)
-            spec_apply = spec_slot & spec_cond & (jnp.abs(rho_spec - rho) / rho > 0.05)
+            spec_apply = (spec_slot & spec_cond
+                          & (jnp.abs(rho_spec - rho) / rho > K_SPEC_MIN_DELTA))
 
             kf = st.k.astype(dt)
             bal_slot = jnp.logical_not(spec_slot)

@@ -258,3 +258,34 @@ def test_fused_batched_wide_matrix():
                                   np.asarray(fus["status"]))
     np.testing.assert_allclose(np.asarray(fus["optval"]),
                                np.asarray(ref["optval"]), rtol=2e-3)
+
+
+def test_fused_batched_instant_convergence_optval():
+    """Regression (self-review): a lane converging at k=0 must report the
+    objective of its FIRING iterate, not the 0.0 carry initializer —
+    λ ≥ λ_max drives x* = 0 and converges immediately."""
+    from pogs_tpu.parallel.batch import batched_graph_solve
+
+    rng = np.random.default_rng(21)
+    m, n, K = 60, 40, 8
+    A = rng.standard_normal((m, n)).astype(np.float32)
+    b = rng.standard_normal(m).astype(np.float32)
+    lam_max = float(np.max(np.abs(A.T @ b)))
+    # First lanes far above λ_max (instant x*=0 convergence), rest normal.
+    lambdas = np.array([10 * lam_max, 5 * lam_max] +
+                       list(np.geomspace(0.5, 0.1, K - 2) * lam_max),
+                       np.float32)
+    f = FunctionVector(Function.SQUARE, m, b=b, dtype=jnp.float32)
+    g = FunctionVector(Function.ABS, n, dtype=jnp.float32)
+    st_x = SolverSettings(abs_tol=1e-4, rel_tol=1e-3, gap_stop=False,
+                          use_fused=False)
+    st_f = SolverSettings(abs_tol=1e-4, rel_tol=1e-3, gap_stop=False,
+                          use_fused=True)
+    ref = batched_graph_solve(A, f, g, lambdas, settings=st_x)
+    fus = batched_graph_solve(A, f, g, lambdas, settings=st_f)
+    np.testing.assert_array_equal(np.asarray(ref["iterations"]),
+                                  np.asarray(fus["iterations"]))
+    np.testing.assert_allclose(np.asarray(fus["optval"]),
+                               np.asarray(ref["optval"]), rtol=2e-3,
+                               atol=1e-4)
+    assert float(np.asarray(fus["optval"])[0]) > 0.1  # not the 0.0 initializer
