@@ -248,11 +248,26 @@ def warm_path_graph_solve(
     c_arr = np.asarray(g_c_batch)
     K = c_arr.shape[0]
 
+    # Each scan step runs the whole solve as ONE VMEM-resident kernel when
+    # the single-solve fused path is eligible (TPU f32, on-chip sizes) —
+    # the XLA loop's per-iteration op overhead would otherwise dominate
+    # the short warm-started solves.
+    from pogs_tpu.ops.fused_admm import fused_admm_eligible
+
+    fused = (
+        settings.use_fused is not False
+        and jnp.dtype(dt) == jnp.float32
+        and fused_admm_eligible(m, n, dt, settings)
+        and (settings.use_fused or jax.default_backend() == "tpu")
+    )
+
     key = ("warm_path", A.shape, str(dt), f.h.tobytes(), g.h.tobytes(),
-           settings, K)
+           settings, K, fused)
     fn = _BATCH_CACHE.get(key)
     if fn is None:
-        projector = DirectProjector()
+        from pogs_tpu.ops.fused_admm import fused_admm_loop
+
+        projector = DirectProjector(method="inverse" if fused else "cholesky")
 
         def solve_path(A, f_params, g_params, c_batch):
             dt = A.dtype
@@ -273,16 +288,23 @@ def warm_path_graph_solve(
                 a, b, c, d, e = g_params
                 g_s = scale_g(_fv(g.h, (a, b, ck, d, e)), eq.e)
 
-                def prox_fn(x_in, y_in, rho):
-                    return prox_eval(g_s, x_in, rho), prox_eval(f_s, y_in, rho)
+                if fused:
+                    out = fused_admm_loop(
+                        eq.A, factor["op"], norm_A, f.h, tuple(f_s.params),
+                        g.h, tuple(g_s.params), settings, z0, zt0, rho0,
+                    )
+                else:
+                    def prox_fn(x_in, y_in, rho):
+                        return (prox_eval(g_s, x_in, rho),
+                                prox_eval(f_s, y_in, rho))
 
-                def eval_fn(x12, y12):
-                    return func_eval(f_s, y12) + func_eval(g_s, x12)
+                    def eval_fn(x12, y12):
+                        return func_eval(f_s, y12) + func_eval(g_s, x12)
 
-                out = admm_loop(
-                    eq.A, norm_A, eq.d, eq.e, prox_fn, eval_fn, project_fn,
-                    settings, z0, zt0, rho0,
-                )
+                    out = admm_loop(
+                        eq.A, norm_A, eq.d, eq.e, prox_fn, eval_fn,
+                        project_fn, settings, z0, zt0, rho0,
+                    )
                 res = {
                     "x": out["x12"] * eq.e,
                     "optval": out["optval"],

@@ -289,3 +289,25 @@ def test_fused_batched_instant_convergence_optval():
                                np.asarray(ref["optval"]), rtol=2e-3,
                                atol=1e-4)
     assert float(np.asarray(fus["optval"])[0]) > 0.1  # not the 0.0 initializer
+
+
+def test_fused_warm_path_matches_xla_scan():
+    """Warm-started scan path through the fused kernel == the XLA-loop
+    scan, step for step (same warm-start carries)."""
+    from pogs_tpu.parallel.batch import solve_lasso_path
+
+    rng = np.random.default_rng(7)
+    m, n, K = 100, 60, 12
+    A = rng.standard_normal((m, n)).astype(np.float32)
+    b = rng.standard_normal(m).astype(np.float32)
+    lam_max = float(np.max(np.abs(A.T @ b)))
+    lambdas = (np.geomspace(0.5, 0.05, K) * lam_max).astype(np.float32)
+    st_x = SolverSettings(abs_tol=1e-5, rel_tol=1e-5, use_fused=False)
+    st_f = SolverSettings(abs_tol=1e-5, rel_tol=1e-5, use_fused=True)
+    xla = solve_lasso_path(A, b, lambdas, settings=st_x, warm=True)
+    fus = solve_lasso_path(A, b, lambdas, settings=st_f, warm=True)
+    np.testing.assert_array_equal(np.asarray(xla["iterations"]),
+                                  np.asarray(fus["iterations"]))
+    assert bool(jnp.all(fus["status"] == 0))
+    np.testing.assert_allclose(np.asarray(fus["optval"]),
+                               np.asarray(xla["optval"]), rtol=1e-3)
