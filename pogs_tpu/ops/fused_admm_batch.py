@@ -330,8 +330,12 @@ def fused_batched_lasso_sweep(
     settings: SolverSettings,
     rho0,
     interpret: Optional[bool] = None,
+    fb_batch=None,
 ):
-    """Run a per-lane g.c sweep (K, n) through the chunked fused kernel.
+    """Run a per-lane sweep through the chunked fused kernel: g.c varies
+    per lane (λ-sweeps), and optionally f.b too (``fb_batch`` (K, m) —
+    multi-right-hand-side regression; the kernel body is identical, the
+    b parameter block just arrives chunked instead of shared).
 
     Inputs are the SCALED pieces from the solver init (same contract as
     fused_admm_loop).  Returns dict with x (K, n) [scaled x12], optval,
@@ -363,8 +367,8 @@ def fused_batched_lasso_sweep(
     # Pre-broadcast to the chunk height (see kernel comment).
     hf_in = jnp.broadcast_to(jnp.asarray(hf_pad)[None, :], (kc, mp))
     hg_in = jnp.broadcast_to(jnp.asarray(hg_pad)[None, :], (kc, np_))
-    f_pad = tuple(jnp.broadcast_to(p, (kc, mp))
-                  for p in _pad_params(f_params, mp))
+    fa, fb, fc, fd, fe = (jnp.broadcast_to(p, (kc, mp))
+                          for p in _pad_params(f_params, mp))
     ga, gb, _, gd, ge = (jnp.broadcast_to(p, (kc, np_))
                          for p in _pad_params(g_params, np_))
 
@@ -375,6 +379,13 @@ def fused_batched_lasso_sweep(
         [c_batch, jnp.broadcast_to(c_batch[-1:], (Kp - K, n))], axis=0
     )
     cb = jnp.concatenate([cb, jnp.ones((Kp, np_ - n), dt)], axis=1)
+    fb_spec_chunked = fb_batch is not None
+    if fb_spec_chunked:
+        fbb = jnp.asarray(fb_batch, dt)
+        fbb = jnp.concatenate(
+            [fbb, jnp.broadcast_to(fbb[-1:], (Kp - K, m))], axis=0
+        )
+        fb = jnp.concatenate([fbb, jnp.zeros((Kp, mp - m), dt)], axis=1)
 
     scal = jnp.zeros((1, _LANE), dt)
     scal = scal.at[0, 0].set(jnp.asarray(rho0, dt))
@@ -393,6 +404,7 @@ def fused_batched_lasso_sweep(
     chunk = lambda d: pl.BlockSpec((kc, d), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM)
 
+    fb_spec = chunk(mp) if fb_spec_chunked else shared((kc, mp))
     outs = pl.pallas_call(
         kern,
         grid=(grid,),
@@ -403,7 +415,8 @@ def fused_batched_lasso_sweep(
         ],
         in_specs=(
             [shared((mp, np_)), shared((np_, mp)), shared((kp, kp))]
-            + [shared((kc, mp))] * 6
+            + [shared((kc, mp)), shared((kc, mp)), fb_spec]
+            + [shared((kc, mp))] * 3
             + [shared((kc, np_))] * 5
             + [shared((1, _LANE))]
             + [chunk(np_)]
@@ -412,7 +425,7 @@ def fused_batched_lasso_sweep(
         interpret=interpret,
     )(
         A_pad, At_pad, Ginv_pad,
-        hf_in, *f_pad, hg_in, ga, gb, gd, ge,
+        hf_in, fa, fb, fc, fd, fe, hg_in, ga, gb, gd, ge,
         scal, cb,
     )
     x12, y12, stats = outs

@@ -110,8 +110,9 @@ def batched_graph_solve(
     fused = (
         settings.use_fused is not False
         and mesh is None
-        and fb_kind == "shared" and e_kind == "shared"
-        and c_kind in ("lane_scalar", "lane_vec")
+        and e_kind == "shared"
+        and c_kind in ("lane_scalar", "lane_vec", "shared")
+        and not (c_kind == "shared" and fb_kind == "shared")
         and not settings.use_anderson and not settings.use_exact_tol
         and settings.verbose <= 1
         and jnp.dtype(dt) == jnp.float32
@@ -136,12 +137,19 @@ def batched_graph_solve(
             f_s = scale_f(_fv(f.h, f_params), eq.d)
             g_s = scale_g(_fv(g.h, g_params), eq.e)
             cb = jnp.asarray(c_batch, dt)
-            if cb.ndim == 1:
+            if c_kind == "shared":        # one (n,) c for every lane
+                cb = jnp.broadcast_to(cb[None, :], (K, n))
+            elif cb.ndim == 1:            # (K,) per-lane scalar ladder
                 cb = jnp.broadcast_to(cb[:, None], (K, n))
+            # Per-lane f.b (multi-RHS): b is untouched by the d-scaling
+            # (scale_f only transforms a/d/e), so the raw batch feeds the
+            # kernel's chunked b input directly.
+            fbk = (jnp.asarray(fb_batch, dt) if fb_kind == "lane_vec"
+                   else None)
             out = fused_batched_lasso_sweep(
                 eq.A, factor["op"], norm_A, f.h, tuple(f_s.params),
                 g.h, tuple(g_s.params), cb, settings,
-                jnp.asarray(settings.rho, dt),
+                jnp.asarray(settings.rho, dt), fb_batch=fbk,
             )
             return {
                 "x": out["x12"] * eq.e[None, :],

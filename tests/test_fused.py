@@ -311,3 +311,29 @@ def test_fused_warm_path_matches_xla_scan():
     assert bool(jnp.all(fus["status"] == 0))
     np.testing.assert_allclose(np.asarray(fus["optval"]),
                                np.asarray(xla["optval"]), rtol=1e-3)
+
+
+def test_fused_batched_multi_rhs():
+    """Per-lane f.b (multi-right-hand-side) through the chunked fused
+    kernel — and combined with a per-lane λ ladder."""
+    from pogs_tpu.parallel.batch import batched_graph_solve
+
+    rng = np.random.default_rng(3)
+    m, n, K = 40, 20, 6
+    A = rng.standard_normal((m, n)).astype(np.float32)
+    B = rng.standard_normal((K, m)).astype(np.float32)
+    f = FunctionVector(Function.SQUARE, m, dtype=jnp.float32)
+    g = FunctionVector(Function.ABS, n, c=0.3, dtype=jnp.float32)
+    st_x = SolverSettings(abs_tol=1e-5, rel_tol=1e-5, use_fused=False)
+    st_f = SolverSettings(abs_tol=1e-5, rel_tol=1e-5, use_fused=True)
+    for kw in ({"f_b_batch": B},
+               {"f_b_batch": B,
+                "g_c_batch": np.linspace(0.5, 0.1, K).astype(np.float32)}):
+        ref = batched_graph_solve(A, f, g, settings=st_x, **kw)
+        fus = batched_graph_solve(A, f, g, settings=st_f, **kw)
+        np.testing.assert_array_equal(np.asarray(ref["iterations"]),
+                                      np.asarray(fus["iterations"]))
+        np.testing.assert_array_equal(np.asarray(ref["status"]),
+                                      np.asarray(fus["status"]))
+        np.testing.assert_allclose(np.asarray(fus["optval"]),
+                                   np.asarray(ref["optval"]), rtol=1e-3)
