@@ -38,6 +38,31 @@ def _fv(h, params):
     return fv
 
 
+def _fused_batch_eligible(m, n, dt, settings, mesh, c_kind, e_kind,
+                          fb_kind) -> bool:
+    """Select the chunked fused batched kernel (ops/fused_admm_batch.py):
+    ~2x the vmapped XLA loop on TPU (0.056 vs 0.11 ms/solve at 500×300,
+    K=128).  Auto on TPU f32 for λ-sweeps and multi-RHS sweeps with
+    shared e; use_fused=True forces (interpret mode off-TPU),
+    use_fused=False opts out.  Pinned by
+    tests/test_fused.py::test_fused_batch_eligibility — a silent
+    fall-through to the slow path is a perf regression, not an error."""
+    from pogs_tpu.ops.fused_admm_batch import batched_chunk_for
+
+    return bool(
+        settings.use_fused is not False
+        and mesh is None
+        and e_kind == "shared"
+        and c_kind in ("lane_scalar", "lane_vec", "shared")
+        and not (c_kind == "shared" and fb_kind == "shared")
+        and not settings.use_anderson and not settings.use_exact_tol
+        and settings.verbose <= 1
+        and jnp.dtype(dt) == jnp.float32
+        and batched_chunk_for(m, n, dt) > 0
+        and (settings.use_fused or jax.default_backend() == "tpu")
+    )
+
+
 def batched_graph_solve(
     A,
     f: FunctionVector,
@@ -100,25 +125,8 @@ def batched_graph_solve(
     if fb_kind == "lane_vec" and fb_arg.shape != (K, m):
         raise ValueError(f"f_b_batch must be (K, m) = {(K, m)}")
 
-    # Fused batched kernel (ops/fused_admm_batch.py): the whole λ-sweep
-    # chunked through VMEM-resident Pallas kernels — ~2x the vmapped XLA
-    # loop on TPU (0.05 vs 0.11 ms/solve at 500×300, K=128).  Auto on TPU
-    # f32 for the shared-f λ-sweep pattern; use_fused=True forces
-    # (interpret mode off-TPU), use_fused=False opts out.
-    from pogs_tpu.ops.fused_admm_batch import batched_chunk_for
-
-    fused = (
-        settings.use_fused is not False
-        and mesh is None
-        and e_kind == "shared"
-        and c_kind in ("lane_scalar", "lane_vec", "shared")
-        and not (c_kind == "shared" and fb_kind == "shared")
-        and not settings.use_anderson and not settings.use_exact_tol
-        and settings.verbose <= 1
-        and jnp.dtype(dt) == jnp.float32
-        and batched_chunk_for(m, n, dt) > 0
-        and (settings.use_fused or jax.default_backend() == "tpu")
-    )
+    fused = _fused_batch_eligible(m, n, dt, settings, mesh,
+                                  c_kind, e_kind, fb_kind)
 
     key = (A.shape, str(dt), f.h.tobytes(), g.h.tobytes(), settings, K,
            c_kind, e_kind, fb_kind, fused,

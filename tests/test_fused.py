@@ -337,3 +337,27 @@ def test_fused_batched_multi_rhs():
                                       np.asarray(fus["status"]))
         np.testing.assert_allclose(np.asarray(fus["optval"]),
                                    np.asarray(ref["optval"]), rtol=1e-3)
+
+
+def test_fused_batch_eligibility():
+    """Auto-selection predicate for the chunked batched kernel: pin the
+    accept/reject matrix so a silent fall-through to the 2x-slower
+    vmapped path cannot sneak in."""
+    from pogs_tpu.parallel.batch import _fused_batch_eligible
+
+    st = SolverSettings(use_fused=True)  # force: backend-independent
+    ok = lambda **kw: _fused_batch_eligible(
+        kw.pop("m", 100), kw.pop("n", 60), kw.pop("dt", jnp.float32),
+        kw.pop("st", st), kw.pop("mesh", None),
+        kw.pop("c_kind", "lane_scalar"), kw.pop("e_kind", "shared"),
+        kw.pop("fb_kind", "shared"))
+
+    assert ok()                                     # λ-sweep
+    assert ok(c_kind="lane_vec")
+    assert ok(c_kind="shared", fb_kind="lane_vec")  # multi-RHS
+    assert not ok(c_kind="shared")                  # nothing varies
+    assert not ok(e_kind="lane_vec")                # e sweeps unsupported
+    assert not ok(dt=jnp.float64)                   # f32 only
+    assert not ok(st=SolverSettings(use_fused=True, use_anderson=True))
+    assert not ok(st=SolverSettings(use_fused=False))
+    assert not ok(m=4000, n=4000)                   # over VMEM budget
