@@ -38,7 +38,7 @@ from pogs_tpu.types import Cone, Status
 from pogs_tpu.cones.sets import ConeSet
 from pogs_tpu.solver.hsde import (
     K_ALPHA_MIN, K_ALPHA_MAX, K_ALPHA_GROW, K_TAU_TOL, K_TAU_REL,
-    K_KAPPA_TOL, K_CHECK_EVERY,
+    K_KAPPA_TOL, K_CHECK_EVERY, K_CERT_CROSS, K_CERT_CONFIRM,
 )
 from pogs_tpu.ops.fused_admm import pad_to
 
@@ -289,7 +289,7 @@ def _kernel_body(
 
     def body(st):
         (ux, uy, ut, wx, wy, wt, alpha, fp_resid, prev_resid, k, done,
-         status, r_pri_o, r_dua_o, gap_o) = st
+         status, r_pri_o, r_dua_o, gap_o, cert_pending) = st
         wx, wy, wt = lin_solve(ux, uy, ut)
         vx = 2.0 * wx - ux
         vy = 2.0 * wy - uy
@@ -341,6 +341,8 @@ def _kernel_body(
             )
 
             # tau ~ 0: infeasibility / unboundedness certificates.
+            # Dominance + confirmation-burst classification — trajectory
+            # twin of hsde.py tau_zero (see the rationale there).
             check = (kappa_w > K_KAPPA_TOL) & (fp <= fp_tol)
             ax_h = _mm(wx, At)
             ax_dist = _nrm(-ax_h - proj_primal(-ax_h))
@@ -349,19 +351,31 @@ def _kernel_body(
             b_dot_y = jnp.sum(b * wy)
             c_dot_x = jnp.sum(c * wx)
             b_neg = -b_dot_y
-            infeas = (check & (b_neg > cert_tol)
-                      & (jnp.abs(c_dot_x) <= cert_tol * b_neg)
-                      & (aty_h <= cert_tol * b_neg)
-                      & (y_cone_h <= cert_tol * b_neg))
             c_neg = -c_dot_x
-            unbdd = (check & (c_neg > cert_tol)
-                     & (jnp.abs(b_dot_y) <= cert_tol * c_neg)
-                     & (ax_dist <= cert_tol * c_neg))
+            infeas_sup = (check & (b_neg > cert_tol)
+                          & (aty_h <= cert_tol * b_neg)
+                          & (y_cone_h <= cert_tol * b_neg))
+            unbdd_sup = (check & (c_neg > cert_tol)
+                         & (ax_dist <= cert_tol * c_neg))
+            eps_d = jnp.asarray(1e-12, dt)
+            joint = jnp.sqrt(jnp.sum(wx * wx) + jnp.sum(wy * wy)) + eps_d
+            beta = b_neg / (joint * jnp.maximum(b_norm, eps_d))
+            gamma_s = c_neg / (joint * jnp.maximum(c_norm, eps_d))
+            both = infeas_sup & unbdd_sup
+            infeas = infeas_sup & ((gamma_s <= K_CERT_CROSS * beta)
+                                   | (both & (beta >= gamma_s)))
+            unbdd = unbdd_sup & jnp.logical_not(infeas) \
+                & ((beta <= K_CERT_CROSS * gamma_s)
+                   | (both & (gamma_s > beta)))
 
-            done_tau0 = infeas | unbdd
+            fired = jnp.where(infeas, 1, jnp.where(unbdd, 2, 0)).astype(
+                jnp.int32)
+            confirm = (fired > 0) & (fired == cert_pending) \
+                & (fp <= K_CERT_CONFIRM * fp_tol)
+            done_tau0 = confirm
             status_tau0 = jnp.where(
-                infeas, Status.INFEASIBLE.value,
-                jnp.where(unbdd, Status.UNBOUNDED.value, status),
+                confirm & infeas, Status.INFEASIBLE.value,
+                jnp.where(confirm & unbdd, Status.UNBOUNDED.value, status),
             ).astype(jnp.int32)
 
             alpha_new = jnp.where(tau_ok, alpha_pos, alpha)
@@ -373,17 +387,18 @@ def _kernel_body(
                           status).astype(jnp.int32),
                 status_tau0,
             )
+            pending_new = jnp.where(tau_ok, 0, fired).astype(jnp.int32)
             return (alpha_new, prev_new, done_new, status_new,
                     jnp.where(tau_ok, r_pri, r_pri_o),
                     jnp.where(tau_ok, r_dua, r_dua_o),
-                    jnp.where(tau_ok, gap, gap_o))
+                    jnp.where(tau_ok, gap, gap_o), pending_new)
 
         def skip_check(_):
             return (alpha, prev_resid, jnp.asarray(False), status,
-                    r_pri_o, r_dua_o, gap_o)
+                    r_pri_o, r_dua_o, gap_o, cert_pending)
 
         (alpha_u, prev_u, done_new, status_u, r_pri_u, r_dua_u,
-         gap_u) = lax.cond(slot, run_check, skip_check, None)
+         gap_u, pending_u) = lax.cond(slot, run_check, skip_check, None)
 
         done_checked = done | done_new
         done_out = done_checked | (k >= max_iter - 1) | ~jnp.isfinite(fp)
@@ -391,7 +406,7 @@ def _kernel_body(
             ux_n, uy_n, ut_n, wx, wy, wt,
             alpha_u, fp, prev_u,
             jnp.where(done_checked, k, k + 1), done_out,
-            status_u, r_pri_u, r_dua_u, gap_u,
+            status_u, r_pri_u, r_dua_u, gap_u, pending_u,
         )
 
     Np = c.shape[1]
@@ -405,10 +420,11 @@ def _kernel_body(
         jnp.asarray(0, jnp.int32), jnp.asarray(False),
         jnp.asarray(Status.MAX_ITER.value, jnp.int32),
         jnp.asarray(0.0, dt), jnp.asarray(0.0, dt), jnp.asarray(0.0, dt),
+        jnp.asarray(0, jnp.int32),
     )
     st = lax.while_loop(lambda s: jnp.logical_not(s[10]), body, init)
     (ux, uy, ut, wx, wy, wt, alpha, fp, prev, k, done, status,
-     r_pri, r_dua, gap) = st
+     r_pri, r_dua, gap, _cert_pending) = st
 
     wx_ref[:] = wx
     wy_ref[:] = wy
