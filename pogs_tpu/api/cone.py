@@ -111,11 +111,13 @@ def solve_cone(
     solver: Optional[ConeSolver] = None,
     assume_svec: bool = False,
     warm_start: bool = False,
+    polish: bool = True,
 ):
     """General cone-form solve; returns the reference result-dict contract."""
     settings = SolverSettings(
         abs_tol=abs_tol, rel_tol=rel_tol, max_iter=max_iter, verbose=verbose,
         adaptive_rho=adaptive_rho, rho=rho if rho is not None else 1.0,
+        polish=polish,
     )
     if solver is None:
         solver = ConeSolver(A, Kx=Kx, Ky=Ky, settings=settings,

@@ -110,6 +110,22 @@ class ConeSet:
         return len(self.constraints)
 
     @property
+    def is_separable_only(self) -> bool:
+        """True when every constraint is Zero/NonNeg/NonPos (no SOC/SDP/EXP)."""
+        return not self._groups
+
+    def separable_masks(self):
+        """(zero, nonneg, nonpos) boolean numpy masks over the dim-vector.
+
+        For callers that specialize on separable-only cone sets — e.g. the
+        LP active-set polish in solver/hsde.py.
+        """
+        empty = np.zeros(self.dim, bool)
+        return (self._masks.get(Cone.ZERO, empty),
+                self._masks.get(Cone.NON_NEG, empty),
+                self._masks.get(Cone.NON_POS, empty))
+
+    @property
     def is_empty(self):
         return not self.constraints
 

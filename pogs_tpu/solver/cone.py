@@ -387,6 +387,7 @@ class ConeSolver:
                         anderson_mem=settings.anderson_mem,
                         anderson_start=settings.anderson_start,
                         u0=u0 if has_warm else None,
+                        polish=settings.polish,
                     )
                 w = out["w"]
                 tau = w[n + m]

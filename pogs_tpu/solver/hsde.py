@@ -72,6 +72,14 @@ K_CHECK_EVERY = 10
 # reference shares the misclassification defect, pogs.cpp:1782-1832):
 K_CERT_CROSS = 0.1    # competing normalized Farkas strength must be 10x weaker
 K_CERT_CONFIRM = 0.25  # confirm burst: fp_resid must tighten to this x fp_tol
+# Polish cadence (round-3 tail acceleration; no reference counterpart —
+# the reference's DR tail stalls the same way, its docs admit 3-4 digit
+# accuracy):
+K_POLISH_START = 250
+K_POLISH_EVERY = 250
+K_POLISH_IPM_STEPS = 10
+K_POLISH_MAX_N = 2048   # the IPM normal matrix is n x n
+K_POLISH_MAX_M = 16384  # keep per-step A'DA matmuls bounded
 
 
 def _nrm2(v):
@@ -364,6 +372,7 @@ def hsde_solve(
     anderson_mem: int = 5,
     anderson_start: int = 10,
     u0=None,
+    polish: bool = False,
 ):
     """Run the HSDE DR iteration on the *scaled* problem. Pure/traceable.
 
@@ -440,6 +449,41 @@ def hsde_solve(
     abs_tol = jnp.asarray(abs_tol, dt)
     rel_tol = jnp.asarray(rel_tol, dt)
 
+    # ---- interior-point polish setup (round-3 tail acceleration) --------
+    # The DR tail on LPs is linear with a rate set by the angle between
+    # the active face and the objective level set — tight tolerances can
+    # take O(10^4) iterations.  Every K_POLISH_EVERY iterations we run a
+    # short Mehrotra predictor-corrector burst (K_POLISH_IPM_STEPS damped
+    # primal-dual Newton steps, one n x n Cholesky each) from the current
+    # DR iterate and ADOPT the refined pair only if it passes the full
+    # convergence test — a failed burst costs a handful of factorizations
+    # and nothing else.  Unlike active-set polish (SCS-style), no
+    # combinatorial identification is needed, so dual degeneracy cannot
+    # misdirect it.  LP-shaped problems only: P absent, separable cones
+    # (Zero/NonNeg/NonPos; NonPos rows sign-flip to NonNeg, Zero rows get
+    # a large barrier weight), dense A of moderate size.
+    import numpy as _host_np
+
+    polish_on = False
+    if polish and P is None and getattr(Ky, "is_separable_only", False) \
+            and m <= K_POLISH_MAX_M and n <= K_POLISH_MAX_N and m >= n:
+        A_raw = getattr(A, "A", A)
+        if isinstance(A_raw, (jax.Array, _host_np.ndarray)) \
+                or hasattr(A_raw, "aval"):
+            z_m, nn_m, np_m = Ky.separable_masks()
+            p_zero = jnp.asarray(z_m)
+            p_ineq = jnp.asarray(nn_m | np_m)
+            # Sign-flip NonPos rows so every inequality is NonNeg in the
+            # polish space; free (uncovered) rows keep +1 and weight 0.
+            sgn_host = _host_np.where(np_m, -1.0, 1.0)
+            p_sgn = jnp.asarray(sgn_host, dt)
+            Af = jnp.asarray(A_raw, dt) * p_sgn[:, None]
+            p_eye_delta = jnp.asarray(
+                1e-7 if dt == jnp.float32 else 1e-13, dt
+            ) * jnp.eye(n, dtype=dt)
+            p_tiny = jnp.asarray(1e-30, dt)
+            polish_on = True
+
     def convergence_check(st: HsdeState) -> HsdeState:
         """Every-10-iterations residual / certificate test (pogs.cpp:1713-1832)."""
         tau = st.wt
@@ -476,9 +520,120 @@ def hsde_solve(
                 (r_pri <= eps_pri) & (r_dua <= eps_dua)
                 & (r_dua_cone <= eps_cone) & (gap <= eps_gap)
             )
+            wx_out, wy_out = st.wx, st.wy
+            r_out, d_out, g_out = r_pri, r_dua, gap
+            if polish_on:
+                def attempt_polish(_):
+                    # Mehrotra predictor-corrector burst from the DR
+                    # iterate, in the sign-flipped space where every
+                    # inequality row is NonNeg (s~ = sgn*s >= 0,
+                    # y~ = sgn*y >= 0).  Zero rows carry a large barrier
+                    # weight (equality in the limit); free rows weight 0.
+                    eps0 = jnp.asarray(1e-6, dt) * (1.0 + b_norm)
+                    bf = p_sgn * b
+                    m_i = jnp.maximum(jnp.sum(p_ineq.astype(dt)), 1.0)
+                    x0 = x_s
+                    s0 = jnp.where(p_ineq,
+                                   jnp.maximum(p_sgn * s_s, eps0), 0.0)
+                    y0 = jnp.where(
+                        p_ineq, jnp.maximum(p_sgn * y_s, eps0),
+                        jnp.where(p_zero, p_sgn * y_s, 0.0))
+
+                    def ipm_body(t, carry):
+                        x, y, s = carry
+                        mu = jnp.vdot(jnp.where(p_ineq, s, 0.0),
+                                      jnp.where(p_ineq, y, 0.0)) / m_i
+                        y_safe = jnp.where(p_ineq, y, 1.0)
+                        s_safe = jnp.where(p_ineq,
+                                           jnp.maximum(s, p_tiny), 1.0)
+                        D_i = jnp.where(p_ineq, y_safe / s_safe, 0.0)
+                        DZ = jnp.maximum(
+                            jnp.asarray(1e8, dt),
+                            1e4 * jnp.max(D_i))
+                        D = jnp.where(p_zero, DZ, D_i)
+                        Mn = jnp.matmul(Af.T, D[:, None] * Af,
+                                        precision=_PRECISION) + p_eye_delta
+                        Lm = jnp.linalg.cholesky(Mn)
+                        r_p = jnp.matmul(Af, x, precision=_PRECISION) \
+                            + s - bf
+                        r_d = jnp.matmul(Af.T, y, precision=_PRECISION) + c
+
+                        def newton(sigma_mu):
+                            r_c = jnp.where(p_ineq,
+                                            s * y - sigma_mu, 0.0)
+                            rc_y = jnp.where(p_ineq, r_c / y_safe, 0.0)
+                            rhs = -r_d - jnp.matmul(
+                                Af.T, D * (r_p - rc_y),
+                                precision=_PRECISION)
+                            dx = jax.scipy.linalg.cho_solve((Lm, True), rhs)
+                            dy = D * (jnp.matmul(Af, dx,
+                                                 precision=_PRECISION)
+                                      + r_p - rc_y)
+                            ds = jnp.where(
+                                p_ineq, (-r_c - s * dy) / y_safe, 0.0)
+                            return dx, dy, ds
+
+                        def amax(v, dv):
+                            r = jnp.where(
+                                p_ineq & (dv < 0),
+                                -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
+                            return jnp.minimum(
+                                jnp.asarray(1.0, dt), 0.995 * jnp.min(r))
+
+                        dx, dy, ds = newton(jnp.asarray(0.0, dt))
+                        ap = amax(s, ds)
+                        ad = amax(y, dy)
+                        mu_aff = jnp.vdot(
+                            jnp.where(p_ineq, s + ap * ds, 0.0),
+                            jnp.where(p_ineq, y + ad * dy, 0.0)) / m_i
+                        sigma = jnp.clip(
+                            (mu_aff / jnp.maximum(mu, p_tiny)) ** 3,
+                            0.0, 1.0)
+                        dx, dy, ds = newton(sigma * mu)
+                        ap = amax(s, ds)
+                        ad = amax(y, dy)
+                        return (x + ap * dx, y + ad * dy, s + ap * ds)
+
+                    x_p, y_f, _s_f = lax.fori_loop(
+                        0, K_POLISH_IPM_STEPS, ipm_body, (x0, y0, s0))
+                    y_p = p_sgn * y_f
+                    s_p = b - amv(x_p)
+                    r_pri_p = jnp.linalg.norm(s_p - Ky.project(s_p))
+                    aty_p = armv(y_p)
+                    r_dua_p = jnp.linalg.norm(aty_p + c)
+                    y_cone_p = jnp.linalg.norm(y_p - Ky_dual.project(y_p))
+                    gap_p = jnp.abs(jnp.vdot(c, x_p) + jnp.vdot(b, y_p))
+                    eps_pri_p = sqm * abs_tol + rel_tol * jnp.maximum(
+                        b_norm, jnp.linalg.norm(s_p))
+                    eps_dua_p = sqn * abs_tol + rel_tol * jnp.maximum(
+                        jnp.linalg.norm(aty_p), c_norm)
+                    eps_cone_p = sqm * abs_tol + rel_tol * jnp.maximum(
+                        1.0, jnp.linalg.norm(y_p))
+                    eps_gap_p = abs_tol + rel_tol * jnp.maximum(1.0, gap_p)
+                    ok = ((r_pri_p <= eps_pri_p) & (r_dua_p <= eps_dua_p)
+                          & (y_cone_p <= eps_cone_p) & (gap_p <= eps_gap_p)
+                          & jnp.all(jnp.isfinite(x_p))
+                          & jnp.all(jnp.isfinite(y_p)))
+                    return ok, x_p, y_p, r_pri_p, r_dua_p, gap_p
+
+                def skip_polish(_):
+                    return (jnp.asarray(False), x_s, y_s, r_pri, r_dua, gap)
+
+                ok_p, x_p, y_p, r_pp, r_dp, g_p = lax.cond(
+                    jnp.logical_not(converged)
+                    & (st.k >= K_POLISH_START)
+                    & (st.k % K_POLISH_EVERY == 0),
+                    attempt_polish, skip_polish, None,
+                )
+                wx_out = jnp.where(ok_p, x_p * tau, wx_out)
+                wy_out = jnp.where(ok_p, y_p * tau, wy_out)
+                r_out = jnp.where(ok_p, r_pp, r_out)
+                d_out = jnp.where(ok_p, r_dp, d_out)
+                g_out = jnp.where(ok_p, g_p, g_out)
+                converged = converged | ok_p
             status = jnp.where(converged, Status.SUCCESS.value, st.status)
-            return (alpha, curr, converged, status, r_pri, r_dua, gap,
-                    jnp.asarray(0, jnp.int32))
+            return (alpha, curr, converged, status, r_out, d_out, g_out,
+                    jnp.asarray(0, jnp.int32), wx_out, wy_out)
 
         def tau_zero(_):
             x_h = st.wx
@@ -545,7 +700,7 @@ def hsde_solve(
                 jnp.where(confirm & unbdd, Status.UNBOUNDED.value, st.status),
             )
             return (st.alpha, st.prev_resid, confirm, status,
-                    st.r_pri, st.r_dua, st.gap, fired)
+                    st.r_pri, st.r_dua, st.gap, fired, st.wx, st.wy)
 
         # Branch on tau RELATIVE to the iterate: on the solution ray tau
         # converges to a positive value; on a certificate ray the iterate
@@ -554,7 +709,7 @@ def hsde_solve(
         # kappa = 0.44 observed on an unbounded LP).
         w_norm = jnp.sqrt(_nrm2(st.wx) + _nrm2(st.wy) + st.wt * st.wt)
         (alpha, prev_resid, done_new, status, r_pri, r_dua, gap,
-         cert_pending) = lax.cond(
+         cert_pending, wx_new, wy_new) = lax.cond(
             tau > jnp.maximum(K_TAU_TOL, K_TAU_REL * w_norm), tau_pos, tau_zero,
             None,
         )
@@ -562,6 +717,7 @@ def hsde_solve(
             alpha=alpha, prev_resid=prev_resid,
             done=st.done | done_new, status=status.astype(jnp.int32),
             r_pri=r_pri, r_dua=r_dua, gap=gap, cert_pending=cert_pending,
+            wx=wx_new, wy=wy_new,
         )
 
     def body(st: HsdeState) -> HsdeState:

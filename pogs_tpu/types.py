@@ -286,6 +286,11 @@ class SolverSettings:
     # the mode is supported), True = force (interpret mode off-TPU),
     # False = always use the XLA while_loop path.
     use_fused: Optional[bool] = None
+    # Active-set polish for LP-shaped HSDE cone solves (solver/hsde.py):
+    # periodic masked-Cholesky projection onto the guessed active face,
+    # adopted only if it passes the full convergence test.  Cuts tight-
+    # tolerance LP tails from O(10^4) DR iterations to O(10^3).
+    polish: bool = True
 
     def replace(self, **kw) -> "SolverSettings":
         return dataclasses.replace(self, **kw)

@@ -465,3 +465,50 @@ def test_truncated_lp_ineq_is_unbounded():
                      dtype=np.float64, abs_tol=1e-6, rel_tol=1e-6,
                      max_iter=20000)
     assert Status(int(out["status"])) == Status.UNBOUNDED
+
+
+def test_polish_tail_convergence_lp_ineq():
+    """VERDICT r2 item 4: the full-cone lp_ineq (1100x300) must reach
+    SUCCESS at 1e-6/f64 in well under 5000 iterations.  The IPM polish
+    (solver/hsde.py) finishes what the DR tail would otherwise grind at
+    for 15k+ iterations; the optimum is pinned against HiGHS."""
+    import pathlib
+    import sys
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+    from benchmarks import problems
+    from pogs_tpu.api.cone import solve_cone
+    from pogs_tpu.types import Cone, ConeConstraint
+
+    p = problems.lp_ineq(500, 300, seed=42)
+    out = solve_cone(p["A"], p["b"], p["c"], Kx=(),
+                     Ky=[ConeConstraint(Cone.NON_NEG,
+                                        range(p["A"].shape[0]))],
+                     dtype=np.float64, abs_tol=1e-6, rel_tol=1e-6,
+                     max_iter=20000)
+    assert Status(int(out["status"])) == Status.SUCCESS
+    assert int(out["iterations"]) < 5000
+    assert out["optval"] == pytest.approx(-41.86725964041036, rel=1e-6)
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_polish_random_lp_tight_tol(seed):
+    """Random bounded inequality LPs at 1e-6/f64: polish must agree with
+    HiGHS and stay well clear of MAX_ITER."""
+    from scipy.optimize import linprog
+
+    from pogs_tpu.api.cone import solve_cone
+    from pogs_tpu.types import Cone, ConeConstraint
+
+    rng = np.random.default_rng(77_000 + seed)
+    m, n = 120, 60
+    A = np.vstack([rng.standard_normal((m, n)), np.eye(n), -np.eye(n)])
+    b = A @ rng.standard_normal(n) + rng.random(A.shape[0]) + 0.1
+    c = rng.standard_normal(n)
+    ref = linprog(c, A_ub=A, b_ub=b, bounds=(None, None), method="highs")
+    out = solve_cone(A, b, c, Kx=(),
+                     Ky=[ConeConstraint(Cone.NON_NEG, range(A.shape[0]))],
+                     dtype=np.float64, abs_tol=1e-6, rel_tol=1e-6,
+                     max_iter=20000)
+    assert Status(int(out["status"])) == Status.SUCCESS
+    assert out["optval"] == pytest.approx(ref.fun, rel=1e-5, abs=1e-5)
+    assert int(out["iterations"]) < 10000

@@ -163,14 +163,17 @@ def test_parity_cone_lp_hsde(seed):
     At matched tolerances the two HSDE implementations are
     trajectory-equivalent: seed 6000 converges in exactly the same number
     of iterations on both sides (1040), so we additionally pin the
-    iteration counts to within 20%."""
+    iteration counts to within 20%.  polish=False pins the BASE DR
+    trajectory — with the round-3 IPM polish on, pogs_tpu finishes in a
+    fraction of the reference's iterations (a deliberate divergence,
+    covered by test_fuzz.py::test_polish_tail_convergence_lp_ineq)."""
     rng = np.random.default_rng(6000 + seed)
     m, n = 50, 25
     A, b, c, opt = _lp_known_optimum(rng, m, n)
     Ky = [ConeConstraint(Cone.NON_NEG, np.arange(m))]
     r_ref = ref.ref_solve_cone(A, b, c, Kx=[], Ky=Ky, **REF_CONE_TOL)
     r_tpu = solve_cone(A, b, c, Kx=(), Ky=Ky, dtype=np.float64,
-                       **REF_CONE_TOL)
+                       polish=False, **REF_CONE_TOL)
     assert r_ref["status"] == 0
     assert r_tpu["status"] == 0
     _agree(r_ref["optval"], opt, rel=1e-2, abs_=1e-2)
