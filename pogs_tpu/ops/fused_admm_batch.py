@@ -9,12 +9,16 @@ while-loop exits when every lane in the chunk is done.  Chunks map to the
 Pallas grid (sequential per core), so one ``pallas_call`` processes any
 batch size with a fixed VMEM footprint.
 
-Semantics match ``jax.vmap``(admm_loop) exactly:
+Semantics track ``jax.vmap``(admm_loop) lane-for-lane:
 
   * the per-lane "near tolerance" exact-residual decision is a per-lane
     select of both branches — which is precisely what ``vmap`` lowers the
     XLA loop's ``lax.cond`` to, so trajectories agree lane-for-lane;
-  * per-lane monotone done flags; the chunk loop runs to the last lane.
+  * per-lane monotone done flags; the chunk loop runs to the last lane;
+  * (x12, y12, optval) are all latched at each lane's firing iteration,
+    so the reported iterate and objective are mutually consistent.  The
+    vmapped loop instead reports the exit-time iterate, so already-done
+    lanes can differ from it within convergence tolerance.
 
 Scope (falls back to the vmapped XLA loop otherwise): dense A in VMEM,
 per-lane g.c overrides (λ-sweeps — the dominant batch pattern), shared f,
@@ -157,7 +161,7 @@ def _kernel_body(
 
     def body(st):
         (zx, zy, ztx, zty, k, rho, delta, xi, kd, ku, prev_nrm_r,
-         done, converged, nan_found, x12, y12, zpx, zpy, opt_o) = st
+         done, converged, nan_found, x12_o, y12_o, zpx, zpy, opt_o) = st
         zprev_x, zprev_y = zx, zy
 
         zin_x = zx - ztx
@@ -280,10 +284,13 @@ def _kernel_body(
             done_now,
             jnp.where(was_done, converged, converged_now),
             jnp.where(was_done, nan_found, nan_now),
-            x12, y12, zprev_x, zprev_y,
-            # Latch at the FIRING iteration like converged/nan (keep would
-            # report the pre-stopping iterate's objective, and 0.0 for a
-            # lane converging at k = 0).
+            # Latch the iterate AND the objective at the FIRING iteration
+            # like converged/nan, so the reported (x12, y12, optval) come
+            # from the same iteration for every lane (keep would report
+            # the pre-stopping iterate's objective, and 0.0 for a lane
+            # converging at k = 0).
+            jnp.where(was_done, x12_o, x12), jnp.where(was_done, y12_o, y12),
+            zprev_x, zprev_y,
             jnp.where(was_done, opt_o, optval),
         )
 

@@ -114,7 +114,14 @@ def batched_graph_solve(
             if isinstance(shared, jax.Array):
                 return shared, None, "shared"
             return np.asarray(shared, npdt), None, "shared"
-        arr = np.asarray(arr, npdt)
+        if isinstance(arr, jax.Array):
+            # Already on device: coerce dtype device-side if needed; a
+            # np.asarray here would be the same blocking d2h copy the
+            # shared branch avoids.
+            if arr.dtype != npdt:
+                arr = arr.astype(npdt)
+        else:
+            arr = np.asarray(arr, npdt)
         if arr.ndim == 1 and per_lane_scalar_ok:
             return arr, 0, "lane_scalar"
         return arr, 0, "lane_vec"

@@ -8,6 +8,7 @@
 #include "../include/pogs_tpu_native.h"
 
 #include <algorithm>
+#include <cmath>
 #include <cstring>
 #include <memory>
 #include <new>
@@ -376,6 +377,7 @@ struct PogsNativeConeSolver {
   std::vector<double> P_s;        // E P E (built at first solve)
   std::vector<double> qp_factor;  // Cholesky of P_s + rho I
   double qp_rho = -1.0;           // rho the factor was built for
+  bool qp_factor_failed = false;  // Cholesky of P_s + rho I failed
 
   std::size_t m() const { return is_sparse ? sp.m : dense.m; }
   std::size_t n() const { return is_sparse ? sp.n : dense.n; }
@@ -486,6 +488,24 @@ extern "C" PogsNativeConeSolver* pogs_native_cone_sparse_new(
   return s;
 }
 
+static bool qp_matrix_ok(std::size_t n, const double* P) {
+  // Reject NaN/Inf entries and gross asymmetry up front: a bad P would
+  // otherwise surface only as a Cholesky failure deep in the solve, and
+  // a silent fallback there would return SUCCESS for the wrong problem
+  // (the LP with P dropped).  PSD-ness proper is checked by the first
+  // factorization (P + rho I), which flips qp_factor_failed.
+  double scale = 0.0;
+  for (std::size_t k = 0; k < n * n; ++k) {
+    if (!std::isfinite(P[k])) return false;
+    scale = std::max(scale, std::abs(P[k]));
+  }
+  const double tol = 1e-8 * std::max(scale, 1.0);
+  for (std::size_t i = 0; i < n; ++i)
+    for (std::size_t j = i + 1; j < n; ++j)
+      if (std::abs(P[i * n + j] - P[j * n + i]) > tol) return false;
+  return true;
+}
+
 extern "C" PogsNativeConeSolver* pogs_native_cone_qp_new(
     int32_t ord, size_t m, size_t n, const double* A, const double* P,
     const PogsNativeCone* Ky, size_t num_Ky) {
@@ -494,7 +514,7 @@ extern "C" PogsNativeConeSolver* pogs_native_cone_qp_new(
   // composing the quadratic x-prox with a cone projection is not the
   // exact prox of (quadratic + indicator); the reference rejects the
   // combination for the same reason (pogs.cpp:1941-1944).
-  if (!P) return nullptr;
+  if (!P || !qp_matrix_ok(n, P)) return nullptr;
   PogsNativeConeSolver* s =
       pogs_native_cone_new(ord, m, n, A, nullptr, 0, Ky, num_Ky);
   if (!s) return nullptr;
@@ -515,7 +535,7 @@ extern "C" PogsNativeConeSolver* pogs_native_cone_qp_sparse_new(
     const double* P, const PogsNativeCone* Ky, size_t num_Ky) {
   // Sparse-A QP (CGLS projector) — the reference supports this pairing
   // via PogsConeQD over MatrixSparse (pogs_c.cpp:208-305).
-  if (!P) return nullptr;
+  if (!P || !qp_matrix_ok(n, P)) return nullptr;
   PogsNativeConeSolver* s = pogs_native_cone_sparse_new(
       m, n, nnz, indptr, indices, data, nullptr, 0, Ky, num_Ky);
   if (!s) return nullptr;
@@ -575,8 +595,13 @@ extern "C" int32_t pogs_native_cone_solve(
         s->qp_factor = s->P_s;
         for (std::size_t j = 0; j < n; ++j) s->qp_factor[j * n + j] += rho;
         if (!pn::cholesky(n, s->qp_factor.data())) {
-          // P + ρI SPD by construction unless P has NaNs; fall back to a
-          // heavily-regularized identity step rather than crash.
+          // P + ρI should be SPD for a valid (symmetric, PSD-ish) P —
+          // qp_matrix_ok screens NaN/asymmetry at construction, so a
+          // failure here means P is badly indefinite.  Record it and
+          // keep iterating on a regularized identity factor; the solve
+          // entry downgrades the final status to NAN_FOUND so the
+          // caller can never mistake the P-dropped solution for SUCCESS.
+          s->qp_factor_failed = true;
           s->qp_factor.assign(n * n, 0.0);
           for (std::size_t j = 0; j < n; ++j)
             s->qp_factor[j * n + j] = std::sqrt(rho);
@@ -633,10 +658,16 @@ extern "C" int32_t pogs_native_cone_solve(
   };
 
   std::vector<double> x12(n), y12(m), mus(n), nus(m);
+  s->qp_factor_failed = false;
   pn::Info res = pn::admm_solve_impl(op, s->norm_A(), prox, project, st,
                                      s->warm(), &s->d(), &s->e(),
                                      x12.data(), y12.data(), mus.data(),
                                      nus.data());
+  if (s->qp_factor_failed) {
+    // The quadratic x-prox fell back to an identity step at least once:
+    // whatever came out solved a different problem.  Never SUCCESS.
+    res.status = POGS_NATIVE_NAN_FOUND;
+  }
   for (std::size_t j = 0; j < n; ++j) {
     if (x) x[j] = x12[j] * s->e()[j];
     if (mu) mu[j] = mus[j] / s->e()[j];

@@ -353,3 +353,33 @@ def test_cone_sparse_native_lp(native):
     assert out["status"] == Status.SUCCESS
     assert out["optval"] == pytest.approx(1.0, abs=1e-2)
     np.testing.assert_allclose(out["x"], [1.0, 0.0], atol=1e-2)
+
+
+def test_native_qp_rejects_bad_P(native):
+    """ADVICE r2: a NaN or asymmetric P must be rejected at construction,
+    and a symmetric-but-indefinite P (whose P+rhoI Cholesky fails) must
+    never come back as SUCCESS — the fallback step solves the LP with P
+    dropped (capi.cpp qp prox)."""
+    from pogs_tpu.types import Cone, ConeConstraint
+
+    rng = np.random.default_rng(17)
+    m, n = 12, 6
+    A = rng.standard_normal((m, n))
+    Ky = [ConeConstraint(Cone.NON_NEG, np.arange(m))]
+
+    P_nan = np.eye(n)
+    P_nan[0, 0] = np.nan
+    with pytest.raises(RuntimeError):
+        native.NativeConeSolver(A, Ky=Ky, P=P_nan)
+
+    P_asym = np.eye(n)
+    P_asym[0, 1] = 1.0  # [1,0] stays 0
+    with pytest.raises(RuntimeError):
+        native.NativeConeSolver(A, Ky=Ky, P=P_asym)
+
+    P_indef = -10.0 * np.eye(n)
+    b = A @ rng.standard_normal(n) + 1.0
+    c = rng.standard_normal(n)
+    res = native.NativeConeSolver(A, Ky=Ky, P=P_indef).solve(
+        b, c, settings=SolverSettings(max_iter=200))
+    assert res["status"] == Status.NAN_FOUND
