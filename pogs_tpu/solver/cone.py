@@ -298,13 +298,44 @@ class ConeSolver:
         if _no_sync:
             return res
         x = res.x[:n]
+        y = res.y[:m]
+        nu = res.nu[:m]
+        status = res.status
+        final_nrm_r, final_nrm_s = res.nrm_r, res.nrm_s
+        # Active-set KKT polish (qp_polish.py): one direct f64 solve on the
+        # detected active rows lifts ADMM-accuracy iterates to ~machine
+        # precision, and rescues MAX_ITER exits whose active set is already
+        # identified (ill-conditioned CVXQP-class problems).  Rejected
+        # polishes leave the iterate untouched.
+        if settings.polish and status in (Status.SUCCESS, Status.MAX_ITER):
+            from pogs_tpu.solver.qp_polish import active_set_polish, row_kinds
+
+            kind = row_kinds(m, self.Ky.constraints)
+            if kind is not None:
+                A_raw = self._A_raw
+                A_host = (A_raw if hasattr(A_raw, "toarray")
+                          else np.asarray(A_raw, np.float64))
+                tol = float(max(settings.abs_tol, settings.rel_tol))
+                pol = active_set_polish(
+                    P, np.asarray(c, np.float64), A_host,
+                    np.asarray(b, np.float64), kind,
+                    np.asarray(x, np.float64), np.asarray(nu, np.float64),
+                    tol,
+                )
+                if pol is not None:
+                    x = jnp.asarray(pol["x"], self.dtype)
+                    y = jnp.asarray(A_host @ pol["x"], self.dtype)
+                    nu = jnp.asarray(pol["lam"], self.dtype)
+                    status = Status.SUCCESS
+                    final_nrm_r = jnp.asarray(pol["res"]["pri"], self.dtype)
+                    final_nrm_s = jnp.asarray(pol["res"]["stat"], self.dtype)
         optval = jnp.vdot(jnp.asarray(c, self.dtype), x) + 0.5 * jnp.vdot(
             x, jnp.asarray(P, self.dtype) @ x
         )
         return SolverResult(
-            x=x, y=res.y[:m], mu=res.mu[:n], nu=res.nu[:m],
-            optval=optval, final_iter=res.final_iter, status=res.status,
-            nrm_r=res.nrm_r, nrm_s=res.nrm_s, gap=res.gap,
+            x=x, y=y, mu=res.mu[:n], nu=nu,
+            optval=optval, final_iter=res.final_iter, status=status,
+            nrm_r=final_nrm_r, nrm_s=final_nrm_s, gap=res.gap,
             solve_time=res.solve_time,
         )
 

@@ -63,3 +63,43 @@ def test_regression_expected_file_in_sync():
         expected = json.load(fh)
     assert set(expected) == {"tv_denoising", "mpc_qp", "portfolio"}
     assert all(np.isfinite(v) for v in expected.values())
+
+
+# ---------------------------------------------------------------------------
+# Mid-size Maros–Mészáros-class suite (VERDICT round-2 item 5): CVXQP
+# recipe problems (cond(Q) ~ 7e18), a degenerate duplicated-row variant,
+# an AUG2D-style grid QP with rank-deficient equality constraints and an
+# exact closed-form oracle, and a DUAL-style dense simplex QP (cond 1e6).
+# Every solve is certified by mm.kkt_certificate — a dual estimate built
+# from x alone, so optimality is proven independent of the solver.
+# ---------------------------------------------------------------------------
+
+_MIDSIZE = mm.midsize_problems(include_m_size=False)
+
+
+@pytest.mark.parametrize("prob", _MIDSIZE, ids=lambda p: p["name"])
+def test_midsize_qp_certified(prob):
+    r = mm.solve_with_pogs_tpu(prob, max_iter=1500)
+    assert r["status"] == 0, r["status"]
+    cert = mm.kkt_certificate(prob, r["x"])
+    assert max(cert.values()) <= 1e-6, cert
+    optval = prob["optval"]
+    if not np.isfinite(optval):
+        optval = mm.solve_with_slsqp(prob)
+    assert r["objective"] == pytest.approx(optval, rel=1e-6, abs=1e-6)
+
+
+def test_cvxqp_recipe_matches_published_via_slsqp():
+    """The generated CVXQP1_S data reproduces the collection's published
+    optimum through an independent SLSQP solve — proving the vendored
+    generator IS the Maros–Mészáros problem, not merely 'inspired by'."""
+    prob = mm.cvxqp_problem(1, 100, 1.1590718e4)
+    slsqp = mm.solve_with_slsqp(prob)
+    assert slsqp == pytest.approx(1.1590718e4, rel=1e-7)
+
+
+def test_aug2d_constraints_are_rank_deficient():
+    """The degeneracy stressor must actually be degenerate."""
+    prob = mm.aug2d_style(8, 8)
+    rank = np.linalg.matrix_rank(prob["A"])
+    assert rank == prob["A"].shape[0] - 1
