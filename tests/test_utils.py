@@ -119,3 +119,17 @@ def test_profiler_trace_writes(tmp_path):
     with trace(str(tmp_path)):
         jax.block_until_ready(jnp.ones((64,)) * 2.0)
     assert any(files for _, _, files in os.walk(tmp_path))
+
+
+def test_published_tables_in_sync_with_artifacts():
+    """VERDICT r2 item 7: every published table is generated from
+    benchmarks/results.json; drift fails the suite."""
+    import subprocess
+    import sys
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(root, "benchmarks", "render_results.py"),
+         "--check"], capture_output=True, text=True)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
