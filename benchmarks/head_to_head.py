@@ -164,6 +164,31 @@ def run_pogs_tpu(name, p, reps):
             "iterations": int(res.final_iter), "status": int(res.status)}
 
 
+def run_pogs_native(name, p, reps):
+    """One-shot native host runtime (same protocol as run_reference: each
+    call includes init — copy + equilibrate + factor + inverse).  This is
+    the backend tiny one-shot problems auto-route to (api/graph.py
+    backend="auto"); labeled separately so the same-host story is honest
+    about which engine produced which number."""
+    from pogs_tpu import native
+    from pogs_tpu.types import SolverSettings
+
+    if not native.is_available():
+        return None
+    f, g = _fg(name, p, np.float64)
+    st = SolverSettings(abs_tol=1e-4, rel_tol=1e-3, gap_stop=False)
+    A = np.asarray(p["A"], np.float64)
+    out = native.solve_graph_native(A, f, g, settings=st)
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = native.solve_graph_native(A, f, g, settings=st)
+        ts.append((time.perf_counter() - t0) * 1e3)
+    return {"solver": "pogs_native", "ms": float(np.median(ts)),
+            "objective": canonical_objective(name, p, out["x"]),
+            "iterations": out["iterations"], "status": int(out["status"])}
+
+
 def run_sklearn(name, p, reps):
     try:
         import sklearn.linear_model as lm
@@ -227,7 +252,8 @@ def bench_family(name, m, n, reps, seed=42):
     gen = getattr(problems, name)
     p = gen(m, n, seed=seed)
     rows = []
-    for runner in (run_reference, run_pogs_tpu, run_sklearn):
+    for runner in (run_reference, run_pogs_tpu, run_pogs_native,
+                   run_sklearn):
         r = runner(name, p, reps)
         if r is not None:
             r.update(problem=name, m=m, n=n)
@@ -310,6 +336,18 @@ def merge_results(key, rows):
             loaded = json.load(fh)
         # round-1 format was a bare list — preserve it under its own key
         data = {"readme_suite": loaded} if isinstance(loaded, list) else loaded
+    if key == "head_to_head" and isinstance(data.get(key), list):
+        # Upsert by (problem, size, solver): a quick partial run must not
+        # clobber rows from fuller runs (the round-2 published-number
+        # drift happened exactly this way — a ladder run's rows were
+        # overwritten by a later --quick run, leaving prose citing rows
+        # that no longer existed in the artifact).
+        merged = {(r.get("problem"), r.get("m"), r.get("n"), r.get("solver")): r
+                  for r in data[key]}
+        for r in rows:
+            merged[(r.get("problem"), r.get("m"), r.get("n"),
+                    r.get("solver"))] = r
+        rows = list(merged.values())
     data[key] = rows
     data.setdefault("meta", {}).update({
         "host_blas_note": "reference links system netlib BLAS (unthreaded); "
