@@ -28,6 +28,40 @@ def _settings(abs_tol, rel_tol, max_iter, verbose, rho, adaptive_rho,
     )
 
 
+# One-shot problems at or below this size route to the native host
+# runtime under backend="auto": a device dispatch costs a jit compile
+# (seconds, cold) plus per-call transport (~7-70 ms on a tunneled TPU),
+# while the host runtime solves a 128x256 problem in well under a
+# millisecond.  Chosen so the crossover sits safely below the ~500x300
+# scale where the compiled TPU path wins warm.
+_NATIVE_AUTO_MAX_ELEMS = 32768
+
+
+def _route_native(A, st, backend, solver, verbose):
+    """backend="auto" decision: tiny dense one-shot problems run on the
+    native host runtime (VERDICT r2 item 9 — don't pay device transport
+    for problems the host solves in sub-millisecond time)."""
+    if backend == "native":
+        return True
+    if backend != "auto" or solver is not None or verbose:
+        return False
+    if st.use_fused is not None or st.use_anderson:
+        return False
+    if not isinstance(A, np.ndarray) or A.size > _NATIVE_AUTO_MAX_ELEMS:
+        return False
+    import jax
+
+    # Only reroute when the ambient JAX backend is an accelerator: the
+    # native runtime's win on tiny problems is avoiding device transport
+    # + compile.  On a CPU backend the JAX path is local (and is what the
+    # test suite deliberately exercises).
+    if jax.default_backend() == "cpu":
+        return False
+    from pogs_tpu import native
+
+    return native.is_available()
+
+
 def solve_graph_form(
     A,
     f: FunctionVector,
@@ -42,18 +76,38 @@ def solve_graph_form(
     use_fused: Optional[bool] = None,
     solver: Optional[GraphFormSolver] = None,
     dtype=None,
+    backend: str = "auto",
     **solver_kw,
 ):
     """Solve min f(y) + g(x) s.t. y = Ax. Returns the reference result dict.
 
     ``f``/``g`` accept FunctionVector objects or plain lists of FunctionObj
-    (the reference's calling convention)."""
+    (the reference's calling convention).
+
+    ``backend``: "auto" (default) solves tiny dense one-shot problems on
+    the native host runtime and everything else through the jitted JAX
+    path; "jax" / "native" force a path.  Reuse (passing ``solver``)
+    always stays on the JAX path — device-resident state is the point of
+    reuse."""
     if isinstance(f, (list, tuple)):
         f = FunctionVector.from_objs(f, dtype=dtype)
     if isinstance(g, (list, tuple)):
         g = FunctionVector.from_objs(g, dtype=dtype)
     st = _settings(abs_tol, rel_tol, max_iter, verbose, rho, adaptive_rho,
                    gap_stop, use_fused)
+    if backend not in ("auto", "jax", "native"):
+        raise ValueError(f"unknown backend {backend!r}")
+    if _route_native(A, st, backend, solver, verbose):
+        import time as _time
+
+        from pogs_tpu.native import solve_graph_native
+
+        t0 = _time.perf_counter()
+        out = solve_graph_native(np.asarray(A, np.float64), f, g, settings=st)
+        out["status"] = int(out["status"])
+        out["solve_time"] = _time.perf_counter() - t0
+        out["backend"] = "native"
+        return out
     if solver is None:
         solver = GraphFormSolver(A, dtype=dtype, settings=st, **solver_kw)
     res = solver.solve(f, g, settings=st)

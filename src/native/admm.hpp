@@ -141,6 +141,12 @@ struct DirectFactor {
   bool tall = true;
   std::size_t m = 0, n = 0;
   std::vector<double> L;        // Cholesky factor of (Gram + I), k x k
+  std::vector<double> Kinv;     // explicit (Gram + I)^{-1}, k x k — makes
+                                // every per-iteration op a row-major gemv
+                                // (unrolled/SIMD) instead of two serial
+                                // triangular solves; fine at f64 since
+                                // cond(Gram + I) <= 1 + ||A||^2 and the
+                                // equilibrated A has unit-ish Fro norm
   const double* A = nullptr;    // equilibrated dense A, row-major
   std::vector<double> At;       // transposed copy: A^T row-major (n x m) —
                                 // makes A^T y a parallel row-major gemv
@@ -160,7 +166,18 @@ inline bool direct_init(std::size_t m, std::size_t n, const double* A,
   fac.L.resize(k * k);
   gram(m, n, A, fac.tall, fac.L.data());
   for (std::size_t i = 0; i < k; ++i) fac.L[i * k + i] += 1.0;
-  return cholesky(k, fac.L.data());
+  if (!cholesky(k, fac.L.data())) return false;
+  // Explicit inverse via k Cholesky solves of identity columns (one-time
+  // O(k^3); the loop then never runs a triangular solve again).
+  fac.Kinv.assign(k * k, 0.0);
+  std::vector<double> ei(k, 0.0), col(k);
+  for (std::size_t j = 0; j < k; ++j) {
+    ei[j] = 1.0;
+    cholesky_solve(k, fac.L.data(), ei.data(), col.data());
+    for (std::size_t i = 0; i < k; ++i) fac.Kinv[i * k + j] = col[i];
+    ei[j] = 0.0;
+  }
+  return true;
 }
 
 inline void direct_project(const DirectFactor& fac, const double* x0,
@@ -171,14 +188,14 @@ inline void direct_project(const DirectFactor& fac, const double* x0,
     std::vector<double> rhs(n);
     gemv(n, m, fac.At.data(), y0, rhs.data());  // A^T y0, parallel
     axpy(n, 1.0, x0, rhs.data());
-    cholesky_solve(n, fac.L.data(), rhs.data(), x);
+    gemv(n, n, fac.Kinv.data(), rhs.data(), x);
     gemv(m, n, fac.A, x, y);
   } else {
     // w = (A A^T + I)^{-1} (A x0 - y0); x = x0 - A^T w; y = y0 + w.
     std::vector<double> rhs(m), w(m), atw(n);
     gemv(m, n, fac.A, x0, rhs.data());
     axpy(m, -1.0, y0, rhs.data());
-    cholesky_solve(m, fac.L.data(), rhs.data(), w.data());
+    gemv(m, m, fac.Kinv.data(), rhs.data(), w.data());
     gemv(n, m, fac.At.data(), w.data(), atw.data());  // A^T w, parallel
     for (std::size_t j = 0; j < n; ++j) x[j] = x0[j] - atw[j];
     for (std::size_t i = 0; i < m; ++i) y[i] = y0[i] + w[i];

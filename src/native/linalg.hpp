@@ -24,9 +24,27 @@ using std::size_t;
 
 template <typename T>
 T dot(size_t n, const T* x, const T* y) {
-  double acc = 0.0;  // accumulate in double for f32 robustness
-#pragma omp parallel for reduction(+ : acc) if (n > 4096)
-  for (size_t i = 0; i < n; ++i) acc += double(x[i]) * double(y[i]);
+  // Eight partial sums break the sequential-addition dependency chain:
+  // strict FP forbids the compiler from vectorizing a single-accumulator
+  // reduction, which otherwise serializes at ~1 element per add-latency
+  // (measured 5-6x slower on the solver's hot gemv path; 8 accumulators
+  // saturate this machine's ~11 GF/s memory-bound gemv ceiling).
+  // Accumulate in double for f32 robustness.
+  double a0 = 0.0, a1 = 0.0, a2 = 0.0, a3 = 0.0;
+  double a4 = 0.0, a5 = 0.0, a6 = 0.0, a7 = 0.0;
+  size_t i = 0;
+  for (; i + 8 <= n; i += 8) {
+    a0 += double(x[i]) * double(y[i]);
+    a1 += double(x[i + 1]) * double(y[i + 1]);
+    a2 += double(x[i + 2]) * double(y[i + 2]);
+    a3 += double(x[i + 3]) * double(y[i + 3]);
+    a4 += double(x[i + 4]) * double(y[i + 4]);
+    a5 += double(x[i + 5]) * double(y[i + 5]);
+    a6 += double(x[i + 6]) * double(y[i + 6]);
+    a7 += double(x[i + 7]) * double(y[i + 7]);
+  }
+  double acc = ((a0 + a1) + (a2 + a3)) + ((a4 + a5) + (a6 + a7));
+  for (; i < n; ++i) acc += double(x[i]) * double(y[i]);
   return T(acc);
 }
 
@@ -52,27 +70,36 @@ void scal(size_t n, T alpha, T* x) {
 // y = A x  (A: m x n, row-major).
 template <typename T>
 void gemv(size_t m, size_t n, const T* A, const T* x, T* y) {
-#pragma omp parallel for if (m * n > 16384)
+#pragma omp parallel for if (m * n > 262144)
   for (size_t i = 0; i < m; ++i) {
     const T* row = A + i * n;
-    double acc = 0.0;
-    for (size_t j = 0; j < n; ++j) acc += double(row[j]) * double(x[j]);
-    y[i] = T(acc);
+    y[i] = dot(n, row, x);
   }
 }
 
 // y = A^T x  (A: m x n, row-major; y has length n).
 template <typename T>
 void gemv_t(size_t m, size_t n, const T* A, const T* x, T* y) {
-#pragma omp parallel for if (m * n > 16384)
-  for (size_t j = 0; j < n; ++j) y[j] = T(0);
   // Column access of a row-major matrix: accumulate row by row into a
-  // double buffer (cache-friendlier than striding columns).
+  // double buffer (cache-friendlier than striding columns).  Four rows
+  // per pass quarters the accumulator load/store traffic, which is what
+  // bounds this kernel.
   std::vector<double> acc(n, 0.0);
-  for (size_t i = 0; i < m; ++i) {
+  size_t i = 0;
+  for (; i + 4 <= m; i += 4) {
+    const T* r0 = A + i * n;
+    const T* r1 = r0 + n;
+    const T* r2 = r1 + n;
+    const T* r3 = r2 + n;
+    const double x0 = double(x[i]), x1 = double(x[i + 1]);
+    const double x2 = double(x[i + 2]), x3 = double(x[i + 3]);
+    for (size_t j = 0; j < n; ++j)
+      acc[j] += x0 * double(r0[j]) + x1 * double(r1[j])
+              + x2 * double(r2[j]) + x3 * double(r3[j]);
+  }
+  for (; i < m; ++i) {
     const T* row = A + i * n;
     const double xi = double(x[i]);
-    if (xi == 0.0) continue;
     for (size_t j = 0; j < n; ++j) acc[j] += xi * double(row[j]);
   }
   for (size_t j = 0; j < n; ++j) y[j] = T(acc[j]);

@@ -383,3 +383,62 @@ def test_native_qp_rejects_bad_P(native):
     res = native.NativeConeSolver(A, Ky=Ky, P=P_indef).solve(
         b, c, settings=SolverSettings(max_iter=200))
     assert res["status"] == Status.NAN_FOUND
+
+
+# ---------------------------------------------------------------------------
+# Tiny-problem auto-routing (VERDICT r2 item 9): one-shot small dense
+# problems route to the native host runtime instead of paying device
+# dispatch; reuse and CPU-backend runs stay on the JAX path.
+# ---------------------------------------------------------------------------
+
+def test_backend_native_forced_matches_jax(rng):
+    from pogs_tpu.api.graph import solve_lasso
+
+    A = rng.normal(size=(60, 30))
+    b = rng.normal(size=60)
+    lam = 0.2 * np.max(np.abs(A.T @ b))
+    r_native = solve_lasso(A, b, lam, backend="native", gap_stop=False)
+    r_jax = solve_lasso(A, b, lam, backend="jax", dtype=np.float64,
+                        gap_stop=False)
+    assert r_native["backend"] == "native"
+    assert int(r_native["status"]) == 0
+    assert r_native["optval"] == pytest.approx(r_jax["optval"], rel=1e-3)
+
+
+def test_backend_auto_stays_jax_on_cpu(rng):
+    from pogs_tpu.api.graph import solve_lasso
+
+    A = rng.normal(size=(20, 10))
+    b = rng.normal(size=20)
+    r = solve_lasso(A, b, 0.5, gap_stop=False)
+    assert "backend" not in r  # JAX path (conftest forces the cpu backend)
+
+
+def test_route_native_decision_logic(monkeypatch):
+    import jax
+
+    from pogs_tpu.api import graph as gmod
+    from pogs_tpu import native
+    from pogs_tpu.types import SolverSettings
+
+    if not native.is_available():
+        pytest.skip("native runtime not built")
+    st = SolverSettings()
+    A_small = np.zeros((60, 30))
+    A_big = np.zeros((1000, 1000))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert gmod._route_native(A_small, st, "auto", None, 0)
+    assert not gmod._route_native(A_big, st, "auto", None, 0)       # too big
+    assert not gmod._route_native(A_small, st, "auto", object(), 0)  # reuse
+    assert not gmod._route_native(A_small, st, "auto", None, 1)     # verbose
+    assert not gmod._route_native(A_small, st, "jax", None, 0)
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert not gmod._route_native(A_small, st, "auto", None, 0)
+    assert gmod._route_native(A_big, st, "native", None, 0)  # forced
+
+
+def test_unknown_backend_raises(rng):
+    from pogs_tpu.api.graph import solve_lasso
+
+    with pytest.raises(ValueError, match="backend"):
+        solve_lasso(np.ones((4, 2)), np.ones(4), 0.1, backend="cuda")
