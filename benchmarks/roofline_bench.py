@@ -20,12 +20,17 @@ Prints one JSON line.  Peak bandwidth per chip:
   v6e: 1640 GB/s (public figures).
 """
 
+import argparse
 import json
 import time
 
 import numpy as np
 
 M, N = 10000, 5000
+# --xl: the round-2 HBM-wall size.  40000x10000 f32 OOMed before the
+# projector's row-blocked Gram (projector/direct.py:_gram) capped the
+# HIGHEST-precision operand-splitting transient.
+XL_M, XL_N = 40000, 10000
 K_ITERS = 120
 REPS = 5
 
@@ -61,26 +66,34 @@ def main():
 
     from pogs_tpu import Function, FunctionVector, GraphFormSolver
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--xl", action="store_true",
+                    help=f"run the {XL_M}x{XL_N} HBM-wall configuration")
+    ap.add_argument("--iters", type=int, default=None)
+    args = ap.parse_args()
+    m, n = (XL_M, XL_N) if args.xl else (M, N)
+    k_iters = args.iters or (K_ITERS // 2 if args.xl else K_ITERS)
+
     rng = np.random.default_rng(11)
-    A = rng.standard_normal((M, N)).astype(np.float32)
-    b = rng.standard_normal(M).astype(np.float32)
+    A = rng.standard_normal((m, n)).astype(np.float32)
+    b = rng.standard_normal(m).astype(np.float32)
     lam = 0.1 * float(np.max(np.abs(A.T @ b)))
-    f = FunctionVector(Function.SQUARE, M, b=b, dtype=jnp.float32)
-    g = FunctionVector(Function.ABS, N, c=lam, dtype=jnp.float32)
+    f = FunctionVector(Function.SQUARE, m, b=b, dtype=jnp.float32)
+    g = FunctionVector(Function.ABS, n, c=lam, dtype=jnp.float32)
 
     solver = GraphFormSolver(A, dtype=jnp.float32)
-    t1 = measure(solver, f, g, K_ITERS)
-    t2 = measure(solver, f, g, 2 * K_ITERS)
-    per_iter_s = max(t2 - t1, 1e-9) / K_ITERS
+    t1 = measure(solver, f, g, k_iters)
+    t2 = measure(solver, f, g, 2 * k_iters)
+    per_iter_s = max(t2 - t1, 1e-9) / k_iters
 
     itemsize = 4
-    bytes_per_iter = (2 * M * N + N * N + 14 * (M + N)) * itemsize
+    bytes_per_iter = (2 * m * n + n * n + 14 * (m + n)) * itemsize
     achieved_gbps = bytes_per_iter / per_iter_s / 1e9
 
     kind = jax.devices()[0].device_kind
     peak = PEAK_GBPS.get(kind)
     out = {
-        "metric": "roofline_lasso_10000x5000",
+        "metric": f"roofline_lasso_{m}x{n}",
         "us_per_iter": round(per_iter_s * 1e6, 1),
         "model_bytes_per_iter_mb": round(bytes_per_iter / 1e6, 1),
         "achieved_gbps": round(achieved_gbps, 1),

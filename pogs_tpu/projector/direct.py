@@ -35,11 +35,37 @@ def _as_dense(A):
     return A.dense() if hasattr(A, "dense") else A
 
 
+# Above this element count the Gram matrix is accumulated over row blocks.
+# Precision.HIGHEST on TPU splits each f32 matmul operand into 3 bf16
+# passes; on a full 40000x10000 operand those splits (plus the transposed
+# layout copy) transiently cost several extra copies of A and blow HBM —
+# the round-2 XL OOM.  Blocking caps the transient at one block's worth
+# while keeping every step MXU-shaped; init-only cost, no loop impact.
+_GRAM_BLOCK_ELEMS = 2 * 10**8
+_GRAM_BLOCK_ROWS = 4096
+
+
 def _gram(A, trans: bool):
-    """AᵀA (trans) or AAᵀ, at highest MXU precision."""
-    if trans:
-        return jnp.matmul(A.T, A, precision=_PRECISION)
-    return jnp.matmul(A, A.T, precision=_PRECISION)
+    """AᵀA (trans) or AAᵀ, at highest MXU precision; blocked when big."""
+    m, n = A.shape
+    if m * n < _GRAM_BLOCK_ELEMS:
+        if trans:
+            return jnp.matmul(A.T, A, precision=_PRECISION)
+        return jnp.matmul(A, A.T, precision=_PRECISION)
+    # Static (trace-time) block loop: G = sum_b A_bᵀ A_b.  ~m/4096 matmul
+    # steps unrolled in the init program; XLA double-buffers G.
+    k = n if trans else m
+    big = m if trans else n
+    G = jnp.zeros((k, k), A.dtype)
+    for lo in range(0, big, _GRAM_BLOCK_ROWS):
+        hi = min(lo + _GRAM_BLOCK_ROWS, big)
+        if trans:
+            Ab = lax.slice_in_dim(A, lo, hi, axis=0)
+            G = G + jnp.matmul(Ab.T, Ab, precision=_PRECISION)
+        else:
+            Ab = lax.slice_in_dim(A, lo, hi, axis=1)
+            G = G + jnp.matmul(Ab, Ab.T, precision=_PRECISION)
+    return G
 
 
 class DirectProjector:

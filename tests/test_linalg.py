@@ -104,3 +104,40 @@ def test_cgls_projector(rng):
     y0 = jnp.asarray(rng.normal(size=m), jnp.float64)
     x, y = proj.project(A, factor, x0, y0, tol=1e-12, x_warm=x0)
     _check_projection(A, x, y, x0, y0, tol=1e-6)
+
+
+def test_blocked_gram_matches_dense(monkeypatch, rng):
+    """The XL row-blocked Gram accumulation (OOM fix for 40000x10000)
+    must agree with the one-shot matmul, tall and wide."""
+    from pogs_tpu.projector import direct as dmod
+
+    monkeypatch.setattr(dmod, "_GRAM_BLOCK_ELEMS", 64)
+    monkeypatch.setattr(dmod, "_GRAM_BLOCK_ROWS", 7)  # non-divisible tail
+    A_tall = jnp.asarray(rng.normal(size=(37, 5)))
+    A_wide = jnp.asarray(rng.normal(size=(5, 37)))
+    np.testing.assert_allclose(
+        np.asarray(dmod._gram(A_tall, trans=True)),
+        np.asarray(A_tall.T @ A_tall), rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(dmod._gram(A_wide, trans=False)),
+        np.asarray(A_wide @ A_wide.T), rtol=1e-10)
+
+
+def test_blocked_gram_end_to_end_solve(monkeypatch, rng):
+    """A solve that routes init through the blocked Gram stays correct."""
+    from pogs_tpu.projector import direct as dmod
+
+    monkeypatch.setattr(dmod, "_GRAM_BLOCK_ELEMS", 64)
+    from pogs_tpu.api.graph import solve_lasso
+
+    A = rng.normal(size=(40, 12))
+    b = rng.normal(size=40)
+    lam = 0.3 * np.max(np.abs(A.T @ b))
+    r = solve_lasso(A, b, lam, dtype=np.float64, gap_stop=False,
+                    abs_tol=1e-6, rel_tol=1e-6)
+    assert r["status"] == 0
+    x = np.asarray(r["x"])
+    g = A.T @ (A @ x - b)
+    on = x != 0
+    assert np.all(np.abs(g[~on]) <= lam * (1 + 1e-3))
+    np.testing.assert_allclose(g[on], -lam * np.sign(x[on]), atol=1e-4 * lam)
