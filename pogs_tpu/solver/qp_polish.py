@@ -192,4 +192,19 @@ def active_set_polish(P, c, A, b, kind, x, lam, tol):
         if np.array_equal(new_act, act):
             break
         act = new_act
+    if best is not None:
+        # Dual-sign cleanup: degenerate active sets can leave a few
+        # wrong-signed inequality multipliers on the accepted iterate.
+        # Zeroing them is valid whenever stationarity survives (they were
+        # not load-bearing); keep whichever version scores better.
+        lam_b = best["lam"]
+        bad = (kind != 0) & (kind * lam_b < 0)
+        if bad.any():
+            lam2 = np.where(bad, 0.0, lam_b)
+            res2 = kkt_residuals(P, c, A, b, kind, best["x"], lam2)
+            if (max(res2.values()) <= best["score"]
+                    and res2["stat"] <= tol and res2["pri"] <= tol):
+                best = {"x": best["x"], "lam": lam2, "res": res2,
+                        "n_active": best["n_active"],
+                        "score": max(res2.values())}
     return best

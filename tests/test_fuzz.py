@@ -512,3 +512,80 @@ def test_polish_random_lp_tight_tol(seed):
     assert Status(int(out["status"])) == Status.SUCCESS
     assert out["optval"] == pytest.approx(ref.fun, rel=1e-5, abs=1e-5)
     assert int(out["iterations"]) < 10000
+
+
+# ---------------------------------------------------------------------------
+# QP active-set polish fuzz (round-3): random strictly convex box QPs,
+# pogs_tpu (short ADMM seed + PDAS polish) vs an independent scipy SLSQP
+# solve.  Stresses the polish on generic active sets rather than the
+# structured Maros-Meszaros families.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_box_qp_polish_vs_slsqp(seed):
+    from scipy.optimize import minimize
+
+    from pogs_tpu.api.cone import solve_cone
+    from pogs_tpu.types import Cone, ConeConstraint
+
+    rng = np.random.default_rng(100 + seed)
+    n = 25
+    B = rng.normal(size=(n, n))
+    P = B @ B.T + 10.0 ** rng.uniform(-3, 0) * np.eye(n)
+    c = rng.normal(size=n)
+    lo = rng.uniform(-1.0, -0.2, size=n)
+    hi = rng.uniform(0.2, 1.0, size=n)
+    m_eq = 3
+    A_eq = rng.normal(size=(m_eq, n))
+    x_feas = rng.uniform(lo + 0.05, hi - 0.05)
+    b_eq = A_eq @ x_feas
+
+    A = np.vstack([A_eq, np.eye(n), -np.eye(n)])
+    b = np.concatenate([b_eq, hi, -lo])
+    Ky = [ConeConstraint(Cone.ZERO, range(m_eq)),
+          ConeConstraint(Cone.NON_NEG, range(m_eq, m_eq + 2 * n))]
+    r = solve_cone(A, b, c, Kx=(), Ky=Ky, P=P, dtype=np.float64,
+                   abs_tol=1e-6, rel_tol=1e-6, max_iter=1500)
+
+    ref = minimize(
+        lambda x: 0.5 * x @ P @ x + c @ x, x_feas,
+        jac=lambda x: P @ x + c,
+        constraints=[{"type": "eq", "fun": lambda x: A_eq @ x - b_eq,
+                      "jac": lambda x: A_eq}],
+        bounds=list(zip(lo, hi)), method="SLSQP",
+        options={"maxiter": 1000, "ftol": 1e-14})
+    assert r["status"] == 0, (seed, r["status"])
+    assert r["optval"] == pytest.approx(float(ref.fun), rel=1e-6, abs=1e-6)
+
+
+def test_sparse_qp_polish_path():
+    """scipy-sparse A through the QP path: the polish must handle sparse
+    row slicing / matvecs and still certify the optimum."""
+    import scipy.sparse as sp
+    from scipy.optimize import minimize
+
+    from pogs_tpu.api.cone import solve_cone
+    from pogs_tpu.types import Cone, ConeConstraint
+
+    rng = np.random.default_rng(5)
+    n = 20
+    B = rng.normal(size=(n, n))
+    P = B @ B.T + 0.5 * np.eye(n)
+    c = rng.normal(size=n)
+    A = sp.vstack([sp.csr_matrix(np.ones((1, n))),
+                   sp.eye(n, format="csr"),
+                   -sp.eye(n, format="csr")]).tocsr()
+    b = np.concatenate([[1.0], np.full(n, 1.0), np.full(n, 1.0)])
+    Ky = [ConeConstraint(Cone.ZERO, [0]),
+          ConeConstraint(Cone.NON_NEG, range(1, 1 + 2 * n))]
+    r = solve_cone(A, b, c, Kx=(), Ky=Ky, P=P, dtype=np.float64,
+                   abs_tol=1e-6, rel_tol=1e-6, max_iter=2000)
+    ref = minimize(
+        lambda x: 0.5 * x @ P @ x + c @ x, np.zeros(n),
+        jac=lambda x: P @ x + c,
+        constraints=[{"type": "eq", "fun": lambda x: x.sum() - 1.0,
+                      "jac": lambda x: np.ones(n)}],
+        bounds=[(-1.0, 1.0)] * n, method="SLSQP",
+        options={"maxiter": 1000, "ftol": 1e-14})
+    assert r["status"] == 0
+    assert r["optval"] == pytest.approx(float(ref.fun), rel=1e-6, abs=1e-6)
