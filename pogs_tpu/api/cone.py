@@ -112,6 +112,7 @@ def solve_cone(
     assume_svec: bool = False,
     warm_start: bool = False,
     polish: bool = True,
+    qp_via: str = "socp",
 ):
     """General cone-form solve; returns the reference result-dict contract."""
     settings = SolverSettings(
@@ -122,7 +123,7 @@ def solve_cone(
     if solver is None:
         solver = ConeSolver(A, Kx=Kx, Ky=Ky, settings=settings,
                             strategy=strategy, dtype=dtype,
-                            assume_svec=assume_svec)
+                            assume_svec=assume_svec, qp_via=qp_via)
     if rho is not None:
         solver.rho = float(rho)
     t0 = time.perf_counter()

@@ -217,3 +217,50 @@ def test_hsde_warm_start_receding_horizon():
     r_cold2 = ConeSolver(A, Ky=Ky, settings=st, dtype="float64").solve(b2, c)
     assert float(r_warm.optval) == pytest.approx(float(r_cold2.optval),
                                                  rel=1e-5, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# qp_via="admm": graph-form cone ADMM with quadratic x-prox (the
+# reference's PogsObjectiveCone x-step, ρ-shift via one-time eigh of the
+# scaled P).  Kept as an option: measured weaker than the epigraph-SOC
+# HSDE seed on ill-conditioned CVXQP instances (as is the native
+# runtime's independent implementation of the same split), so "socp"
+# stays the default.
+# ---------------------------------------------------------------------------
+
+def test_qp_via_admm_matches_socp(rng):
+    from scipy.optimize import minimize
+
+    from pogs_tpu.api.cone import solve_cone
+    from pogs_tpu.types import Cone, ConeConstraint
+
+    n = 15
+    B = rng.normal(size=(n, n))
+    P = B @ B.T + 0.5 * np.eye(n)
+    c = rng.normal(size=n)
+    A = np.vstack([np.ones((1, n)), np.eye(n), -np.eye(n)])
+    b = np.concatenate([[1.0], np.full(n, 1.0), np.full(n, 1.0)])
+    Ky = [ConeConstraint(Cone.ZERO, [0]),
+          ConeConstraint(Cone.NON_NEG, range(1, 1 + 2 * n))]
+    kw = dict(Kx=(), Ky=Ky, P=P, dtype=np.float64,
+              abs_tol=1e-6, rel_tol=1e-6, max_iter=3000)
+    r_admm = solve_cone(A, b, c, qp_via="admm", **kw)
+    r_socp = solve_cone(A, b, c, qp_via="socp", **kw)
+    ref = minimize(
+        lambda x: 0.5 * x @ P @ x + c @ x, np.zeros(n),
+        jac=lambda x: P @ x + c,
+        constraints=[{"type": "eq", "fun": lambda x: x.sum() - 1.0,
+                      "jac": lambda x: np.ones(n)}],
+        bounds=[(-1.0, 1.0)] * n, method="SLSQP",
+        options={"maxiter": 1000, "ftol": 1e-14})
+    assert r_admm["status"] == 0
+    assert r_socp["status"] == 0
+    assert r_admm["optval"] == pytest.approx(float(ref.fun), rel=1e-6, abs=1e-6)
+    assert r_socp["optval"] == pytest.approx(float(ref.fun), rel=1e-6, abs=1e-6)
+
+
+def test_qp_via_validation():
+    from pogs_tpu.solver.cone import ConeSolver
+
+    with pytest.raises(ValueError, match="qp_via"):
+        ConeSolver(np.eye(3), qp_via="bogus")
