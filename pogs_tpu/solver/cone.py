@@ -193,7 +193,8 @@ class ConeSolver:
             # well-conditioned QPs.
             if self.qp_via == "admm":
                 return self._solve_qp_admm(b, c, P, settings, _no_sync)
-            return self._solve_qp_as_socp(b, c, P, settings, _no_sync)
+            return self._solve_qp_as_socp(b, c, P, settings, _no_sync,
+                                          warm_start=warm_start)
         self.init()
 
         has_warm = bool(warm_start and self.use_hsde
@@ -246,7 +247,8 @@ class ConeSolver:
 
     # -- QP → SOCP reformulation ----------------------------------------------
 
-    def _solve_qp_as_socp(self, b, c, P, settings, _no_sync):
+    def _solve_qp_as_socp(self, b, c, P, settings, _no_sync,
+                          warm_start=False):
         """min c'x + ½x'Px s.t. b−Ax ∈ K_y  ⇒  epigraph variable t with
         ½x'Px ≤ t as a rotated second-order cone:
 
@@ -312,8 +314,13 @@ class ConeSolver:
             )
             self._qp_sub = sub
             self._qp_sub_key = sub_key
+        # Thread the warm start through to the extended solver: the
+        # epigraph variable/cone structure is identical across re-solves
+        # with perturbed (b, c, P-diagonal), which is the receding-horizon
+        # QP pattern (MPC) the cone warm start exists for.
         res = sub.solve(b_ext.astype(npdt), c_ext.astype(npdt),
-                        settings=settings, _no_sync=_no_sync)
+                        settings=settings, _no_sync=_no_sync,
+                        warm_start=warm_start)
         if _no_sync:
             return res
         x = res.x[:n]

@@ -264,3 +264,31 @@ def test_qp_via_validation():
 
     with pytest.raises(ValueError, match="qp_via"):
         ConeSolver(np.eye(3), qp_via="bogus")
+
+
+def test_qp_warm_start_cuts_iterations(rng):
+    """The QP (epigraph-SOC) route must thread warm_start to the extended
+    solver: a perturbed-b re-solve is the receding-horizon MPC pattern."""
+    from pogs_tpu.solver.cone import ConeSolver
+    from pogs_tpu.types import Cone, ConeConstraint, SolverSettings
+
+    n = 30
+    B = rng.normal(size=(n, n))
+    P = B @ B.T + 0.5 * np.eye(n)
+    c = rng.normal(size=n)
+    A = np.vstack([np.ones((1, n)), np.eye(n), -np.eye(n)])
+    b = np.concatenate([[1.0], np.full(n, 1.0), np.full(n, 1.0)])
+    Ky = [ConeConstraint(Cone.ZERO, [0]),
+          ConeConstraint(Cone.NON_NEG, range(1, 1 + 2 * n))]
+    st = SolverSettings(abs_tol=1e-6, rel_tol=1e-6, max_iter=20000,
+                        polish=False)
+    s = ConeSolver(A, Ky=Ky, settings=st, dtype=np.float64)
+    s.solve(b, c, P=P, settings=st)
+    b2 = b.copy()
+    b2[0] = 1.01
+    cold = ConeSolver(A, Ky=Ky, settings=st, dtype=np.float64).solve(
+        b2, c, P=P, settings=st)
+    warm = s.solve(b2, c, P=P, settings=st, warm_start=True)
+    assert int(warm.final_iter) < 0.6 * int(cold.final_iter)
+    assert float(warm.optval) == pytest.approx(float(cold.optval),
+                                               rel=1e-5, abs=1e-6)
