@@ -63,6 +63,7 @@ class PogsNativeSettings(ct.Structure):
         ("gap_stop", ct.c_int32),
         ("warm_start", ct.c_int32),
         ("cgls_max_iter", ct.c_int32),
+        ("polish", ct.c_int32),
     ]
 
 
@@ -216,6 +217,7 @@ def _settings_struct(settings: SolverSettings, warm_start: bool) -> PogsNativeSe
     st.gap_stop = int(settings.gap_stop)
     st.warm_start = int(warm_start)
     st.cgls_max_iter = settings.cgls_max_iter
+    st.polish = int(settings.polish)
     return st
 
 

@@ -193,6 +193,31 @@ def _solve_kkt(P, A_act, c, b_act):
 _MAX_PDAS_ITER = 40
 
 
+def _repair_duals(P, c, A, kind, x, act):
+    """Sign-constrained least-squares dual on the active rows:
+    min ‖Px + c + A_actᵀλ‖ with λ ≥ 0 (NonNeg rows) / λ ≤ 0 (NonPos),
+    λ free on equalities, λ = 0 off the active set."""
+    try:
+        from scipy.optimize import lsq_linear
+    except Exception:  # pragma: no cover - scipy always present here
+        return None
+    idx = np.flatnonzero(act)
+    if idx.size == 0:
+        return None
+    g = P @ x + c
+    A_act = A[idx]
+    if hasattr(A_act, "toarray"):
+        A_act = A_act.toarray()
+    A_act = np.asarray(A_act, np.float64)
+    kk = kind[idx]
+    lo = np.where(kk == 0, -np.inf, np.where(kk > 0, 0.0, -np.inf))
+    hi = np.where(kk == 0, np.inf, np.where(kk > 0, np.inf, 0.0))
+    sol = lsq_linear(A_act.T, -g, bounds=(lo, hi), max_iter=300, tol=1e-14)
+    lam = np.zeros(len(kind))
+    lam[idx] = sol.x
+    return lam
+
+
 def active_set_polish(P, c, A, b, kind, x, lam, tol):
     """Primal-dual active-set (PDAS) polish seeded at the ADMM iterate.
 
@@ -248,10 +273,31 @@ def active_set_polish(P, c, A, b, kind, x, lam, tol):
         lam_p = np.zeros(m)
         lam_p[act] = lam_act
         res = kkt_residuals(P, c, A, b, kind, x_p, lam_p)
-        score = max(res.values())
-        if score < base_score and res["stat"] <= tol and res["pri"] <= tol:
+        lam_cand, res_cand = lam_p, res
+        if (res["sign"] > tol and res["stat"] <= tol and res["pri"] <= tol
+                and res["comp"] <= tol):
+            # Degenerate active sets have non-unique duals: the KKT LU
+            # returns an arbitrary one, which can violate the sign
+            # constraints even at the exact primal optimum (and PDAS then
+            # oscillates between equally-optimal sets).  Repair for the
+            # ACCEPTANCE CANDIDATE only — the sign-constrained
+            # least-squares dual on the same active set; the raw LU duals
+            # keep driving the PDAS update (repaired duals would change
+            # the trajectory, which empirically cycles early).
+            lam_r = _repair_duals(P, c, A, kind, x_p, act)
+            if lam_r is not None:
+                res_r = kkt_residuals(P, c, A, b, kind, x_p, lam_r)
+                if max(res_r.values()) < max(res.values()):
+                    lam_cand, res_cand = lam_r, res_r
+        score = max(res_cand.values())
+        # ALL four residuals must meet tolerance: a point with small
+        # stationarity+feasibility but bad dual sign/complementarity
+        # solves the KKT system of the WRONG active set (it is feasible
+        # and stationary for an over-constrained subproblem, not the QP)
+        # — accepting it would mislabel a suboptimal point as SUCCESS.
+        if score < base_score and score <= tol:
             if best is None or score < best["score"]:
-                best = {"x": x_p, "lam": lam_p, "res": res,
+                best = {"x": x_p, "lam": lam_cand, "res": res_cand,
                         "n_active": k, "score": score}
         s_p = b - A @ x_p
         new_act = (kind == 0) | (kind * (lam_p - s_p) > 0)
@@ -268,8 +314,7 @@ def active_set_polish(P, c, A, b, kind, x, lam, tol):
         if bad.any():
             lam2 = np.where(bad, 0.0, lam_b)
             res2 = kkt_residuals(P, c, A, b, kind, best["x"], lam2)
-            if (max(res2.values()) <= best["score"]
-                    and res2["stat"] <= tol and res2["pri"] <= tol):
+            if max(res2.values()) <= min(best["score"], tol):
                 best = {"x": best["x"], "lam": lam2, "res": res2,
                         "n_active": best["n_active"],
                         "score": max(res2.values())}

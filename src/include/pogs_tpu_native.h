@@ -78,6 +78,7 @@ typedef struct {
   int32_t gap_stop;     /* bool */
   int32_t warm_start;   /* bool: reuse the handle's previous iterate */
   int32_t cgls_max_iter;
+  int32_t polish;       /* bool: QP active-set polish (cone QP path) */
 } PogsNativeSettings;
 
 /* Solve diagnostics. */

@@ -46,6 +46,8 @@ struct Settings {
   // original (unscaled) space via d/e, tighter projection ladder, exact
   // residuals every iteration (reference pogs.cpp:102-110, 210-248).
   bool use_exact_tol = false;
+  // QP active-set polish (cone QP path; see qp_polish.hpp).
+  bool polish = true;
 };
 
 struct Info {

@@ -16,6 +16,7 @@
 
 #include "admm.hpp"
 #include "cone.hpp"
+#include "qp_polish.hpp"
 #include "linalg.hpp"
 #include "prox.hpp"
 
@@ -31,9 +32,10 @@ extern "C" void pogs_native_settings_default(PogsNativeSettings* s) {
   s->gap_stop = 0;
   s->warm_start = 0;
   s->cgls_max_iter = 500;
+  s->polish = 1;
 }
 
-extern "C" int32_t pogs_native_version(void) { return 10000; /* 1.0.0 */ }
+extern "C" int32_t pogs_native_version(void) { return 10100; /* 1.1.0 */ }
 
 namespace {
 
@@ -48,6 +50,7 @@ pn::Settings to_settings(const PogsNativeSettings* s) {
   out.adaptive_rho = s->adaptive_rho != 0;
   out.gap_stop = s->gap_stop != 0;
   out.cgls_max_iter = s->cgls_max_iter;
+  out.polish = s->polish != 0;
   return out;
 }
 
@@ -375,8 +378,10 @@ struct PogsNativeConeSolver {
   bool has_qp = false;
   std::vector<double> P;          // n x n, row-major, original space
   std::vector<double> P_s;        // E P E (built at first solve)
-  std::vector<double> qp_factor;  // Cholesky of P_s + rho I
+  std::vector<double> qp_factor;  // Cholesky of P_s/sigma + rho I
   double qp_rho = -1.0;           // rho the factor was built for
+  double qp_factor_sigma = -1.0;  // sigma the factor was built for
+  double qp_p_norm = -1.0;        // ||P_s||_2 power-method estimate
   bool qp_factor_failed = false;  // Cholesky of P_s + rho I failed
 
   std::size_t m() const { return is_sparse ? sp.m : dense.m; }
@@ -575,6 +580,27 @@ extern "C" int32_t pogs_native_cone_solve(
       for (std::size_t j = 0; j < n; ++j)
         s->P_s[i * n + j] = s->P[i * n + j] * s->e()[i] * s->e()[j];
   }
+  // QP objective normalization: divide the WHOLE objective (c and P
+  // together — same argmin) by sigma = max(||P_s||_2, ||c_s||); without
+  // it an O(1e6)-scale P dwarfs the unit-scale equilibrated constraints
+  // and the rho~1 ADMM stalls with O(1) residuals.  sigma folds back
+  // into optval via c_scale; reported duals are rescaled below.
+  double qp_sigma = 1.0;
+  if (s->has_qp) {
+    if (s->qp_p_norm < 0.0) {
+      pn::LinOp pop;
+      pop.m = n;
+      pop.n = n;
+      const double* Pp = s->P_s.data();
+      pop.mv = [Pp, n](const double* v, double* out) {
+        pn::gemv(n, n, Pp, v, out);
+      };
+      pop.rmv = pop.mv;  // symmetric
+      s->qp_p_norm = pn::norm2_est(pop, 30);
+    }
+    qp_sigma = std::max(std::max(s->qp_p_norm, c_nrm), 1e-12);
+    for (auto& v : c_n) v /= qp_sigma;
+  }
 
   pn::Settings st = to_settings(settings);
   st.use_exact_tol = true;
@@ -588,11 +614,13 @@ extern "C" int32_t pogs_native_cone_solve(
   const pn::ConeSetNative& Kx = s->Kx;
   const pn::ConeSetNative& Ky = s->Ky;
   if (s->has_qp) {
-    prox.prox_x = [s, &c_n, n](const double* v, double rho, double* out) {
-      // Quadratic x-step: (P_s + ρI) x = ρv − c (pogs.cpp:687-712);
-      // the Cholesky factor is cached and rebuilt only on ρ change.
-      if (rho != s->qp_rho) {
+    prox.prox_x = [s, &c_n, n, qp_sigma](const double* v, double rho,
+                                          double* out) {
+      // Quadratic x-step: (P_s/σ + ρI) x = ρv − c (pogs.cpp:687-712);
+      // the Cholesky factor is cached and rebuilt only on ρ/σ change.
+      if (rho != s->qp_rho || qp_sigma != s->qp_factor_sigma) {
         s->qp_factor = s->P_s;
+        for (auto& pv : s->qp_factor) pv /= qp_sigma;
         for (std::size_t j = 0; j < n; ++j) s->qp_factor[j * n + j] += rho;
         if (!pn::cholesky(n, s->qp_factor.data())) {
           // P + ρI should be SPD for a valid (symmetric, PSD-ish) P —
@@ -607,6 +635,7 @@ extern "C" int32_t pogs_native_cone_solve(
             s->qp_factor[j * n + j] = std::sqrt(rho);
         }
         s->qp_rho = rho;
+        s->qp_factor_sigma = qp_sigma;
       }
       std::vector<double> rhs(n);
       for (std::size_t j = 0; j < n; ++j) rhs[j] = rho * v[j] - c_n[j];
@@ -638,9 +667,9 @@ extern "C" int32_t pogs_native_cone_solve(
           row += s->P_s[i * n + j] * x12[j];
         quad += x12[i] * row;
       }
-      acc += 0.5 * quad;
+      acc += 0.5 * quad / qp_sigma;
     }
-    return acc / c_scale;
+    return acc * (s->has_qp ? qp_sigma : 1.0 / c_scale);
   };
 
   pn::LinOp op = s->linop();
@@ -668,13 +697,64 @@ extern "C" int32_t pogs_native_cone_solve(
     // whatever came out solved a different problem.  Never SUCCESS.
     res.status = POGS_NATIVE_NAN_FOUND;
   }
+  // The QP solve ran on the sigma-normalized objective: its duals (and
+  // nothing else) are 1/sigma times the original problem's.
+  const double dual_scale = s->has_qp ? qp_sigma : 1.0;
   for (std::size_t j = 0; j < n; ++j) {
     if (x) x[j] = x12[j] * s->e()[j];
-    if (mu) mu[j] = mus[j] / s->e()[j];
+    if (mu) mu[j] = mus[j] / s->e()[j] * dual_scale;
   }
   for (std::size_t i = 0; i < m; ++i) {
     if (y) y[i] = y12[i] / s->d()[i];
-    if (nu) nu[i] = nus[i] * s->d()[i];
+    if (nu) nu[i] = nus[i] * s->d()[i] * dual_scale;
+  }
+  // PDAS active-set polish (qp_polish.hpp): dense-A QPs over polyhedral
+  // K_y finish with a direct KKT refinement in the ORIGINAL space —
+  // rescues ill-conditioned instances that stall at ADMM accuracy.
+  if (s->has_qp && !s->is_sparse && st.polish && !s->qp_factor_failed &&
+      (res.status == POGS_NATIVE_SUCCESS ||
+       res.status == POGS_NATIVE_MAX_ITER) &&
+      x && nu) {
+    std::vector<std::int8_t> kind;
+    if (pn::qp_row_kinds(s->Ky, m, kind)) {
+      // Reconstruct the original A from the in-place equilibrated copy:
+      // A_eq = D' A E' with the stored (already √norm_a-folded) d/e.
+      std::vector<double> A_orig(m * n);
+      for (std::size_t i = 0; i < m; ++i)
+        for (std::size_t j = 0; j < n; ++j)
+          A_orig[i * n + j] =
+              s->dense.A[i * n + j] / (s->d()[i] * s->e()[j]);
+      const double tol =
+          std::max(st.abs_tol, st.rel_tol) > 0
+              ? std::max(st.abs_tol, st.rel_tol) : 1e-6;
+      std::vector<double> x_pol, lam_pol;
+      pn::QpKktResiduals pres;
+      if (pn::qp_active_set_polish(m, n, s->P.data(), c, A_orig.data(), b,
+                                   kind, x, nu, tol, x_pol, lam_pol,
+                                   pres)) {
+        for (std::size_t j = 0; j < n; ++j) x[j] = x_pol[j];
+        for (std::size_t i = 0; i < m; ++i) {
+          nu[i] = lam_pol[i];
+          if (y) {
+            double acc = 0.0;
+            for (std::size_t j = 0; j < n; ++j)
+              acc += A_orig[i * n + j] * x_pol[j];
+            y[i] = acc;
+          }
+        }
+        double lin = 0.0, quad = 0.0;
+        std::vector<double> Px(n);
+        pn::gemv(n, n, s->P.data(), x_pol.data(), Px.data());
+        for (std::size_t j = 0; j < n; ++j) {
+          lin += c[j] * x_pol[j];
+          quad += x_pol[j] * Px[j];
+        }
+        res.optval = lin + 0.5 * quad;
+        res.status = POGS_NATIVE_SUCCESS;
+        res.nrm_r = pres.pri;
+        res.nrm_s = pres.stat;
+      }
+    }
   }
   if (info) {
     info->optval = res.optval;
