@@ -103,3 +103,16 @@ def test_aug2d_constraints_are_rank_deficient():
     prob = mm.aug2d_style(8, 8)
     rank = np.linalg.matrix_rank(prob["A"])
     assert rank == prob["A"].shape[0] - 1
+
+
+def test_cvxqp_f32_seed_polished_to_f64_accuracy():
+    """A float32 device solve seeds the host-side f64 PDAS polish well
+    enough to certify the QP optimum — f64 accuracy at f32 device speed
+    (the polish runs in float64 regardless of the solve dtype)."""
+    prob = mm.cvxqp_problem(1, 100, 1.1590718e4)
+    r = mm.solve_with_pogs_tpu(prob, max_iter=1500, abs_tol=1e-5,
+                               rel_tol=1e-5, dtype=np.float32)
+    assert r["status"] == 0
+    assert abs(r["objective"] - 1.1590718e4) / 1.1590718e4 <= 1e-5
+    cert = mm.kkt_certificate(prob, r["x"])
+    assert max(cert.values()) <= 1e-5, cert
