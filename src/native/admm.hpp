@@ -169,16 +169,12 @@ inline bool direct_init(std::size_t m, std::size_t n, const double* A,
   gram(m, n, A, fac.tall, fac.L.data());
   for (std::size_t i = 0; i < k; ++i) fac.L[i * k + i] += 1.0;
   if (!cholesky(k, fac.L.data())) return false;
-  // Explicit inverse via k Cholesky solves of identity columns (one-time
-  // O(k^3); the loop then never runs a triangular solve again).
+  // Explicit inverse via ONE multi-RHS solve of the identity (one-time
+  // O(k^3), vectorized across columns; the loop then never runs a
+  // triangular solve again).
   fac.Kinv.assign(k * k, 0.0);
-  std::vector<double> ei(k, 0.0), col(k);
-  for (std::size_t j = 0; j < k; ++j) {
-    ei[j] = 1.0;
-    cholesky_solve(k, fac.L.data(), ei.data(), col.data());
-    for (std::size_t i = 0; i < k; ++i) fac.Kinv[i * k + j] = col[i];
-    ei[j] = 0.0;
-  }
+  for (std::size_t i = 0; i < k; ++i) fac.Kinv[i * k + i] = 1.0;
+  cholesky_solve_multi(k, fac.L.data(), k, fac.Kinv.data());
   return true;
 }
 

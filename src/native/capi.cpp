@@ -107,6 +107,7 @@ struct ScaledObjective {
 struct PogsNativeDense {
   std::size_t m = 0, n = 0;
   std::vector<double> A;  // row-major, equilibrated in place on init
+  std::vector<double> Asq;  // |A|^2, built for equilibration, then freed
   std::vector<double> d, e;
   double norm_A = 1.0;
   pn::DirectFactor factor;
@@ -126,7 +127,12 @@ struct PogsNativeDense {
     op.rmv = [Ap, mm, nn](const double* x, double* y) {
       pn::gemv_t(mm, nn, Ap, x, y);
     };
-    op.sq_mv = [Ap, mm, nn](const double* x, double* y) {
+    // Sinkhorn runs 50 iterations of sq_mv/sq_rmv: use the precomputed
+    // |A|^2 when available (built in ensure_init, freed after) so each
+    // pass is a plain gemv instead of squaring every element again.
+    const double* Sq = Asq.empty() ? nullptr : Asq.data();
+    op.sq_mv = [Ap, Sq, mm, nn](const double* x, double* y) {
+      if (Sq) { pn::gemv(mm, nn, Sq, x, y); return; }
       for (std::size_t i = 0; i < mm; ++i) {
         double acc = 0.0;
         const double* row = Ap + i * nn;
@@ -134,7 +140,8 @@ struct PogsNativeDense {
         y[i] = acc;
       }
     };
-    op.sq_rmv = [Ap, mm, nn](const double* x, double* y) {
+    op.sq_rmv = [Ap, Sq, mm, nn](const double* x, double* y) {
+      if (Sq) { pn::gemv_t(mm, nn, Sq, x, y); return; }
       std::vector<double> acc(nn, 0.0);
       for (std::size_t i = 0; i < mm; ++i) {
         const double* row = Ap + i * nn;
@@ -154,8 +161,13 @@ struct PogsNativeDense {
   bool ensure_init() {
     if (initialized) return !init_failed;
     initialized = true;
+    Asq.resize(m * n);
+    for (std::size_t k = 0; k < m * n; ++k) Asq[k] = A[k] * A[k];
     pn::LinOp op = linop();
     pn::equilibrate(op, 0.0, d, e);
+    Asq.clear();               // stale after the in-place rescale of A
+    Asq.shrink_to_fit();
+    op = linop();              // rebind without the |A|^2 fast path
     norm_A = pn::norm2_est(op);
     init_failed = !pn::direct_init(m, n, A.data(), factor);
     return !init_failed;
@@ -396,6 +408,11 @@ struct PogsNativeConeSolver {
     bool& initialized = is_sparse ? sp.initialized : dense.initialized;
     if (initialized) return is_sparse || !dense.init_failed;
     initialized = true;
+    if (!is_sparse) {
+      dense.Asq.resize(dense.m * dense.n);
+      for (std::size_t k = 0; k < dense.m * dense.n; ++k)
+        dense.Asq[k] = dense.A[k] * dense.A[k];
+    }
     pn::LinOp op = linop();
     // Cone-averaged Sinkhorn constraints (pogs.cpp:758-782).
     pn::equilibrate(
@@ -406,6 +423,9 @@ struct PogsNativeConeSolver {
       sp.norm_A = pn::norm2_est(op);
       return true;
     }
+    dense.Asq.clear();         // stale after the in-place rescale of A
+    dense.Asq.shrink_to_fit();
+    op = linop();              // rebind without the |A|^2 fast path
     dense.norm_A = pn::norm2_est(op);
     dense.init_failed =
         !pn::direct_init(dense.m, dense.n, dense.A.data(), dense.factor);

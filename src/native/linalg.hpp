@@ -178,6 +178,39 @@ void cholesky_solve(size_t n, const T* L, const T* b, T* x) {
   }
 }
 
+// Multi-RHS Cholesky solve (trsm-style): solves K X = B in place for an
+// n x r row-major block.  The inner loops run OVER THE RHS COLUMNS, so
+// they vectorize (a column-at-a-time loop serializes on the triangular
+// dependency instead) — building an explicit inverse this way is ~5x
+// faster than n single-vector solves.
+template <typename T>
+void cholesky_solve_multi(size_t n, const T* L, size_t r, T* X) {
+  // Forward:  L W = B  (B arrives in X, W leaves in X).
+  for (size_t i = 0; i < n; ++i) {
+    T* xi = X + i * r;
+    for (size_t p = 0; p < i; ++p) {
+      const double lip = double(L[i * n + p]);
+      if (lip == 0.0) continue;
+      const T* xp = X + p * r;
+      for (size_t q = 0; q < r; ++q) xi[q] -= T(lip * double(xp[q]));
+    }
+    const double inv = 1.0 / double(L[i * n + i]);
+    for (size_t q = 0; q < r; ++q) xi[q] = T(double(xi[q]) * inv);
+  }
+  // Backward: L^T X = W.
+  for (size_t ii = n; ii-- > 0;) {
+    T* xi = X + ii * r;
+    for (size_t p = ii + 1; p < n; ++p) {
+      const double lpi = double(L[p * n + ii]);
+      if (lpi == 0.0) continue;
+      const T* xp = X + p * r;
+      for (size_t q = 0; q < r; ++q) xi[q] -= T(lpi * double(xp[q]));
+    }
+    const double inv = 1.0 / double(L[ii * n + ii]);
+    for (size_t q = 0; q < r; ++q) xi[q] = T(double(xi[q]) * inv);
+  }
+}
+
 // ---------------------------------------------------------------------------
 // Symmetric eigendecomposition via cyclic Jacobi rotations.
 //
