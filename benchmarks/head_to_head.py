@@ -178,6 +178,11 @@ def run_pogs_native(name, p, reps):
 
     if not native.is_available():
         return None
+    m_, n_ = p["A"].shape
+    if m_ * n_ > 4_000_000:
+        # One-shot init is Gram-bound (O(m n^2) on one host core); the
+        # native engine is the tiny-problem path, not the XL path.
+        return None
     f, g = _fg(name, p, np.float64)
     st = SolverSettings(abs_tol=1e-4, rel_tol=1e-3, gap_stop=False)
     A = np.asarray(p["A"], np.float64)
