@@ -375,17 +375,20 @@ def merge_results(key, rows):
             loaded = json.load(fh)
         # round-1 format was a bare list — preserve it under its own key
         data = {"readme_suite": loaded} if isinstance(loaded, list) else loaded
-    if key == "head_to_head" and isinstance(data.get(key), list):
-        # Upsert by (problem, size, solver): a quick partial run must not
-        # clobber rows from fuller runs (the round-2 published-number
-        # drift happened exactly this way — a ladder run's rows were
-        # overwritten by a later --quick run, leaving prose citing rows
-        # that no longer existed in the artifact).
-        merged = {(r.get("problem"), r.get("m"), r.get("n"), r.get("solver")): r
-                  for r in data[key]}
+    _UPSERT_KEYS = {
+        # A quick partial run must not clobber rows from fuller runs (the
+        # round-2 published-number drift happened exactly this way — a
+        # ladder run's rows were overwritten by a later --quick run,
+        # leaving prose citing rows that no longer existed in the
+        # artifact).  Same hazard for real_data --no-m-size runs.
+        "head_to_head": ("problem", "m", "n", "solver"),
+        "real_data": ("suite", "problem", "dataset"),
+    }
+    if key in _UPSERT_KEYS and isinstance(data.get(key), list):
+        fields = _UPSERT_KEYS[key]
+        merged = {tuple(r.get(f) for f in fields): r for r in data[key]}
         for r in rows:
-            merged[(r.get("problem"), r.get("m"), r.get("n"),
-                    r.get("solver"))] = r
+            merged[tuple(r.get(f) for f in fields)] = r
         rows = list(merged.values())
     data[key] = rows
     data.setdefault("meta", {}).update({

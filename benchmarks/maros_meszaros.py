@@ -365,9 +365,14 @@ def to_cone_form(p):
 
 
 def solve_with_pogs_tpu(p, abs_tol=1e-6, rel_tol=1e-6, max_iter=40000,
-                        dtype=np.float64):
+                        dtype=np.float64, solver=None, warm_start=False,
+                        b_scale=1.0):
     """Solve one vendored problem with the TPU QP path; returns the dict
-    from solve_cone plus the objective including the constant term."""
+    from solve_cone plus the objective including the constant term.
+
+    ``solver``/``warm_start`` enable the receding-horizon re-solve
+    pattern (pass the ConeSolver back in with a perturbed right-hand
+    side); ``b_scale`` perturbs the constraint rhs for that purpose."""
     from pogs_tpu.api.cone import solve_cone
     from pogs_tpu.types import Cone, ConeConstraint
 
@@ -378,10 +383,44 @@ def solve_with_pogs_tpu(p, abs_tol=1e-6, rel_tol=1e-6, max_iter=40000,
         Ky.append(ConeConstraint(Cone.ZERO, range(n_eq)))
     if m > n_eq:
         Ky.append(ConeConstraint(Cone.NON_NEG, range(n_eq, m)))
-    res = solve_cone(A_bar, b_bar, c, Kx=(), Ky=Ky, P=P, dtype=dtype,
-                     abs_tol=abs_tol, rel_tol=rel_tol, max_iter=max_iter)
+    res = solve_cone(A_bar, b_bar * b_scale, c, Kx=(), Ky=Ky, P=P,
+                     dtype=dtype, abs_tol=abs_tol, rel_tol=rel_tol,
+                     max_iter=max_iter, solver=solver,
+                     warm_start=warm_start)
     res["objective"] = float(res["optval"]) + p["c0"]
     return res
+
+
+def warm_resolve_stats(p, max_iter, abs_tol=1e-6, rel_tol=1e-6,
+                       dtype=np.float64, perturb=1e-3):
+    """Receding-horizon evidence: solve, then re-solve with a perturbed
+    rhs through the SAME ConeSolver with warm_start=True (the MPC
+    pattern).  Returns (cold_iters, warm_iters, warm_ms, rel_err) with
+    rel_err measured against a cold solve of the perturbed problem."""
+    import time as _time
+
+    from pogs_tpu.solver.cone import ConeSolver
+    from pogs_tpu.types import Cone, ConeConstraint, SolverSettings
+
+    P, c, A_bar, b_bar, n_eq = to_cone_form(p)
+    m = A_bar.shape[0]
+    Ky = []
+    if n_eq:
+        Ky.append(ConeConstraint(Cone.ZERO, range(n_eq)))
+    if m > n_eq:
+        Ky.append(ConeConstraint(Cone.NON_NEG, range(n_eq, m)))
+    st = SolverSettings(abs_tol=abs_tol, rel_tol=rel_tol, max_iter=max_iter)
+    s = ConeSolver(A_bar, Ky=Ky, settings=st, dtype=dtype)
+    r0 = s.solve(b_bar, c, P=P, settings=st)
+    b2 = b_bar * (1.0 + perturb)
+    t0 = _time.perf_counter()
+    r_warm = s.solve(b2, c, P=P, settings=st, warm_start=True)
+    warm_ms = (_time.perf_counter() - t0) * 1e3
+    r_cold = ConeSolver(A_bar, Ky=Ky, settings=st, dtype=dtype).solve(
+        b2, c, P=P, settings=st)
+    denom = max(abs(float(r_cold.optval)), 1.0)
+    rel_err = abs(float(r_warm.optval) - float(r_cold.optval)) / denom
+    return (int(r0.final_iter), int(r_warm.final_iter), warm_ms, rel_err)
 
 
 def solve_with_slsqp(p):

@@ -119,6 +119,24 @@ def run_midsize(include_m_size=True):
             "pass": bool(r["status"] == 0 and err <= 1e-6
                          and max(cert.values()) <= 1e-6),
         })
+    # Receding-horizon evidence: the QP warm start (round-3) re-solves a
+    # perturbed DUAL_200 through the same ConeSolver.  (DUAL_200 is the
+    # representative whose ADMM converges on its own — on the CVXQP
+    # family the iterate count is pinned at max_iter and the PDAS polish
+    # does the converging, so an iteration comparison says nothing.)
+    rep = [p for p in mm.midsize_problems(include_m_size=False)
+           if p["name"] == "DUAL_200"][0]
+    ci, wi, wms, werr = mm.warm_resolve_stats(rep, max_iter=5000)
+    rows.append({
+        "suite": "maros_meszaros_midsize", "problem": "DUAL_200_warm_resolve",
+        "n": 200, "m_rows": 1,
+        "objective": None, "oracle": None,
+        "rel_err": round(werr, 12),
+        "kkt_stat": None, "kkt_pri": None, "kkt_comp": None,
+        "iterations": wi, "cold_iterations": ci,
+        "ms": round(wms, 2), "cold_ms": None,
+        "pass": bool(wi < ci and werr <= 1e-6),
+    })
     return rows
 
 

@@ -196,25 +196,48 @@ _MAX_PDAS_ITER = 40
 def _repair_duals(P, c, A, kind, x, act):
     """Sign-constrained least-squares dual on the active rows:
     min ‖Px + c + A_actᵀλ‖ with λ ≥ 0 (NonNeg rows) / λ ≤ 0 (NonPos),
-    λ free on equalities, λ = 0 off the active set."""
-    try:
-        from scipy.optimize import lsq_linear
-    except Exception:  # pragma: no cover - scipy always present here
-        return None
-    idx = np.flatnonzero(act)
-    if idx.size == 0:
-        return None
+    λ free on equalities, λ = 0 off the active set.
+
+    Deletion-loop scheme (same as the native qp_polish.hpp): solve the
+    UNCONSTRAINED least squares over the working set via regularized
+    normal equations, drop wrong-signed inequality multipliers, repeat.
+    Exact solves each pass — unlike a generic bounded-LS solver, the
+    stationarity residual is never traded away for sign feasibility
+    (scipy's lsq_linear at ~1e3 bounded variables stalls around 1e-3
+    stationarity, which the acceptance test then correctly rejects)."""
+    import scipy.linalg as sla
+
     g = P @ x + c
-    A_act = A[idx]
-    if hasattr(A_act, "toarray"):
-        A_act = A_act.toarray()
-    A_act = np.asarray(A_act, np.float64)
-    kk = kind[idx]
-    lo = np.where(kk == 0, -np.inf, np.where(kk > 0, 0.0, -np.inf))
-    hi = np.where(kk == 0, np.inf, np.where(kk > 0, np.inf, 0.0))
-    sol = lsq_linear(A_act.T, -g, bounds=(lo, hi), max_iter=300, tol=1e-14)
+    W = np.flatnonzero(act)
+    if W.size == 0:
+        return None
+    A_W = A[W]
+    if hasattr(A_W, "toarray"):
+        A_W = A_W.toarray()
+    A_W = np.asarray(A_W, np.float64)
+    kk = kind[W]
+    keep = np.ones(W.size, bool)
+    lam_W = np.zeros(W.size)
+    for _ in range(30):
+        Ak = A_W[keep]
+        M = Ak @ Ak.T
+        M[np.diag_indices_from(M)] += 1e-10 * (1.0 + np.diag(M))
+        try:
+            cf = sla.cho_factor(M)
+            sol = sla.cho_solve(cf, -(Ak @ g))
+        except Exception:
+            return None
+        lam_W[:] = 0.0
+        lam_W[keep] = sol
+        bad = keep & (kk != 0) & (kk * lam_W < 0.0)
+        if not bad.any():
+            break
+        keep &= ~bad
+        if not keep.any():
+            return None
+    lam_W[(kk != 0) & (kk * lam_W < 0.0)] = 0.0  # clip residual violations
     lam = np.zeros(len(kind))
-    lam[idx] = sol.x
+    lam[W] = lam_W
     return lam
 
 
@@ -250,6 +273,7 @@ def active_set_polish(P, c, A, b, kind, x, lam, tol):
     base = kkt_residuals(P, c, A, b, kind, x, lam)
     base_score = max(base.values())
     s = b - A @ x
+    s_scale = 1.0 + np.max(np.abs(b), initial=0.0)
 
     best = None
     seen = set()
@@ -281,10 +305,16 @@ def active_set_polish(P, c, A, b, kind, x, lam, tol):
             # constraints even at the exact primal optimum (and PDAS then
             # oscillates between equally-optimal sets).  Repair for the
             # ACCEPTANCE CANDIDATE only — the sign-constrained
-            # least-squares dual on the same active set; the raw LU duals
-            # keep driving the PDAS update (repaired duals would change
-            # the trajectory, which empirically cycles early).
-            lam_r = _repair_duals(P, c, A, kind, x_p, act)
+            # least-squares dual over the point's TIGHT rows.  Use the
+            # slack-identified set, NOT the PDAS working set: the working
+            # set may exclude tight rows (dropped for a wrong-signed LU
+            # multiplier) that the sign-feasible dual needs.  The raw LU
+            # duals keep driving the PDAS update (repaired duals would
+            # change the trajectory, which empirically cycles early).
+            s_here = b - A @ x_p
+            act_r = (kind == 0) | ((kind != 0)
+                                   & (np.abs(s_here) <= 1e-8 * s_scale))
+            lam_r = _repair_duals(P, c, A, kind, x_p, act_r)
             if lam_r is not None:
                 res_r = kkt_residuals(P, c, A, b, kind, x_p, lam_r)
                 if max(res_r.values()) < max(res.values()):

@@ -306,14 +306,22 @@ inline bool qp_active_set_polish(
         qp_kkt_residuals(m, n, P, c, A, b, kind, x_p.data(), lam_p.data());
     // Degenerate active sets have non-unique duals: the LU can return
     // wrong-signed multipliers at the exact primal optimum.  Repair the
-    // ACCEPTANCE CANDIDATE with the sign-constrained LS dual; the raw
-    // LU duals keep driving the PDAS update (a repaired trajectory
-    // cycles early — matches qp_polish.py).
+    // ACCEPTANCE CANDIDATE with the sign-constrained LS dual over the
+    // point's TIGHT rows (slack-identified — the PDAS working set may
+    // exclude tight rows the sign-feasible dual needs); the raw LU
+    // duals keep driving the PDAS update (a repaired trajectory cycles
+    // early — matches qp_polish.py).
     std::vector<double> lam_cand(lam_p);
     if (res.sign > tol && res.stat <= tol && res.pri <= tol &&
         res.comp <= tol) {
+      gemv(m, n, A, x_p.data(), s.data());
+      std::vector<char> act_r(m);
+      for (std::size_t i = 0; i < m; ++i) {
+        const double sl = b[i] - s[i];
+        act_r[i] = (kind[i] == 0) || (std::abs(sl) <= 1e-8 * s_scale);
+      }
       std::vector<double> lam_r;
-      if (qp_repair_duals(m, n, P, c, A, kind, x_p.data(), act, lam_r)) {
+      if (qp_repair_duals(m, n, P, c, A, kind, x_p.data(), act_r, lam_r)) {
         const QpKktResiduals res_r = qp_kkt_residuals(
             m, n, P, c, A, b, kind, x_p.data(), lam_r.data());
         if (res_r.score() < res.score()) {
