@@ -551,3 +551,100 @@ def warm_path_cone_solve(
         _CONE_BATCH_CACHE[key] = fn
 
     return fn(A, b_batch, c)
+
+
+def batched_qp_solve(
+    A,
+    P_qp,
+    b_batch,
+    c_batch,
+    Ky,
+    settings: Optional[SolverSettings] = None,
+    strategy: str = "smw",
+    mesh: Optional[Mesh] = None,
+    batch_axis: str = "batch",
+    polish: bool = True,
+):
+    """Solve a batch of QPs  min c_kᵀx + ½xᵀPx  s.t.  b_k − Ax ∈ K_y
+    sharing one (A, P, K_y) — scenario MPC with quadratic stage costs,
+    parameter sweeps over tracking targets.
+
+    The shared epigraph rotated-SOC extension (solver/cone.py
+    ``_solve_qp_as_socp``) is built ONCE: P = LtᵀLt by eigendecomposition,
+    extended rows = [A | −t; √2·Lt].  Lanes differ only in the extended
+    (b, c), so the whole sweep is one vmapped HSDE solve — one batched
+    MXU matmul per DR iteration for all K problems.  When ``polish`` and
+    K_y is polyhedral, each lane finishes with the host-f64 PDAS
+    active-set polish (solver/qp_polish.py), so f32 device sweeps return
+    certified-accuracy optima.
+
+    ``b_batch``: (K, m); ``c_batch``: (K, n) or (n,) to broadcast.
+    Returns dict of batched results: x (K, n), optval (K,),
+    iterations (K,), status (K,), polished (K,) bool.
+    """
+    from pogs_tpu.types import Cone, ConeConstraint
+    from pogs_tpu.solver.qp_polish import active_set_polish, row_kinds
+
+    settings = settings or SolverSettings()
+    A = np.asarray(A, np.float64)
+    m, n = A.shape
+    P64 = np.asarray(P_qp, np.float64)
+    P64 = (P64 + P64.T) / 2
+    if P64.shape != (n, n):
+        raise ValueError(f"P must be {n}x{n}")
+    b_batch = np.asarray(b_batch, np.float64)
+    K = b_batch.shape[0]
+    c_batch = np.asarray(c_batch, np.float64)
+    c_shared = c_batch.ndim == 1
+
+    # Shared epigraph extension (same construction as the single-solve
+    # route, solver/cone.py): variables (x, t); rows [A | 0; t-rows; SOC].
+    w_eig, V = np.linalg.eigh(P64)
+    keep = w_eig > max(1e-12, 1e-10 * max(float(w_eig.max(initial=0.0)), 1.0))
+    Lt = np.sqrt(w_eig[keep])[:, None] * V[:, keep].T  # (r, n)
+    r = Lt.shape[0]
+    A_ext = np.zeros((m + r + 2, n + 1))
+    A_ext[:m, :n] = A
+    A_ext[m, n] = -1.0
+    A_ext[m + 1, n] = -1.0
+    A_ext[m + 2:, :n] = -np.sqrt(2.0) * Lt
+    tail = np.concatenate([[1.0, -1.0], np.zeros(r)])
+    b_ext = np.concatenate([b_batch, np.broadcast_to(tail, (K, r + 2))],
+                           axis=1)
+    if c_shared:
+        c_ext = np.concatenate([c_batch, [1.0]])
+    else:
+        c_ext = np.concatenate([c_batch, np.ones((K, 1))], axis=1)
+    Ky = [c if isinstance(c, ConeConstraint) else ConeConstraint(*c)
+          for c in Ky]
+    Ky_ext = list(Ky) + [ConeConstraint(Cone.SOC, range(m, m + r + 2))]
+
+    out = batched_cone_solve(A_ext, b_ext, c_ext, Ky_ext,
+                             settings=settings, strategy=strategy,
+                             mesh=mesh, batch_axis=batch_axis)
+    x = np.array(np.asarray(out["x"], np.float64)[:, :n])
+    nu = np.array(np.asarray(out["nu"], np.float64)[:, :m])
+    status = np.asarray(out["status"]).copy()
+    iterations = np.asarray(out["iterations"])
+    optval = np.einsum("kn,kn->k", x, x @ P64) * 0.5
+    optval = optval + (x @ c_batch if c_shared
+                       else np.einsum("kn,kn->k", c_batch, x))
+    polished = np.zeros(K, bool)
+    kind = row_kinds(m, Ky) if polish else None
+    if kind is not None:
+        tol = float(max(settings.abs_tol, settings.rel_tol))
+        for k in range(K):
+            if status[k] not in (0, 3):
+                continue
+            ck = c_batch if c_shared else c_batch[k]
+            pol = active_set_polish(P64, ck, A, b_batch[k], kind,
+                                    x[k], nu[k], tol)
+            if pol is not None:
+                x[k] = pol["x"]
+                nu[k] = pol["lam"]
+                status[k] = 0
+                optval[k] = ck @ x[k] + 0.5 * x[k] @ P64 @ x[k]
+                polished[k] = True
+    return {"x": x, "nu": nu, "optval": optval,
+            "iterations": iterations, "status": status,
+            "polished": polished}

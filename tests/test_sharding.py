@@ -474,3 +474,60 @@ def test_warm_cone_path_matches_batch():
         np.maximum(np.abs(np.asarray(vm["optval"])), 1.0)
     assert float(rel.max()) < 1e-2  # both within their own tol bands
     assert int(jnp.sum(wm["iterations"])) < 0.5 * int(jnp.sum(vm["iterations"]))
+
+
+def test_batched_qp_solve_vs_slsqp(rng):
+    """Scenario-QP sweep (round-3): K lanes share (A, P, K_y); the whole
+    sweep is one vmapped HSDE solve on the shared epigraph-SOC extension
+    plus per-lane PDAS polish.  Oracle: independent SLSQP per lane."""
+    from scipy.optimize import minimize
+
+    from pogs_tpu.parallel import batched_qp_solve
+    from pogs_tpu.types import Cone, ConeConstraint, SolverSettings
+
+    n, K = 10, 4
+    B = rng.normal(size=(n, n))
+    Pq = B @ B.T + 0.5 * np.eye(n)
+    A = np.vstack([np.ones((1, n)), np.eye(n), -np.eye(n)])
+    Ky = [ConeConstraint(Cone.ZERO, [0]),
+          ConeConstraint(Cone.NON_NEG, range(1, 1 + 2 * n))]
+    b_batch = np.stack([
+        np.concatenate([[1.0 + 0.1 * k], np.full(n, 1.0), np.full(n, 1.0)])
+        for k in range(K)])
+    c_batch = rng.normal(size=(K, n))
+    st = SolverSettings(abs_tol=1e-6, rel_tol=1e-6, max_iter=20000)
+    out = batched_qp_solve(A, Pq, b_batch, c_batch, Ky, settings=st)
+    assert np.all(out["status"] == 0)
+    for k in range(K):
+        target = 1.0 + 0.1 * k
+        ref = minimize(
+            lambda x, ck=c_batch[k]: 0.5 * x @ Pq @ x + ck @ x,
+            np.zeros(n), jac=lambda x, ck=c_batch[k]: Pq @ x + ck,
+            constraints=[{"type": "eq",
+                          "fun": lambda x, t=target: x.sum() - t,
+                          "jac": lambda x: np.ones(n)}],
+            bounds=[(-1.0, 1.0)] * n, method="SLSQP",
+            options={"maxiter": 500, "ftol": 1e-14})
+        assert out["optval"][k] == pytest.approx(float(ref.fun),
+                                                 rel=1e-6, abs=1e-6)
+
+
+def test_batched_qp_shared_c_broadcast(rng):
+    """c as a single (n,) vector broadcasts across lanes."""
+    from pogs_tpu.parallel import batched_qp_solve
+    from pogs_tpu.types import Cone, ConeConstraint, SolverSettings
+
+    n, K = 8, 3
+    B = rng.normal(size=(n, n))
+    Pq = B @ B.T + np.eye(n)
+    c = rng.normal(size=n)
+    A = np.vstack([np.eye(n), -np.eye(n)])
+    Ky = [ConeConstraint(Cone.NON_NEG, range(2 * n))]
+    b_batch = np.stack([np.concatenate([np.full(n, 1.0 + 0.2 * k),
+                                        np.full(n, 1.0)])
+                        for k in range(K)])
+    st = SolverSettings(abs_tol=1e-6, rel_tol=1e-6, max_iter=20000)
+    out = batched_qp_solve(A, Pq, b_batch, c, Ky, settings=st)
+    assert np.all(out["status"] == 0)
+    # Wider boxes can only improve the optimum: optval non-increasing.
+    assert np.all(np.diff(out["optval"]) <= 1e-8)
