@@ -292,3 +292,33 @@ def test_qp_warm_start_cuts_iterations(rng):
     assert int(warm.final_iter) < 0.6 * int(cold.final_iter)
     assert float(warm.optval) == pytest.approx(float(cold.optval),
                                                rel=1e-5, abs=1e-6)
+
+
+def test_qp_certificates_flow_through_epigraph(rng):
+    """Infeasibility/unboundedness certificates of the extended SOCP map
+    back to the original QP (the epigraph reformulation preserves both:
+    its feasible set projects onto the QP's, and a QP descent ray is an
+    epigraph descent ray)."""
+    from pogs_tpu.api.cone import solve_cone
+    from pogs_tpu.types import Cone, ConeConstraint, Status
+
+    n = 8
+    B = rng.normal(size=(n, n))
+    P = B @ B.T + np.eye(n)
+    A = np.vstack([np.ones((1, n)), np.ones((1, n)), np.eye(n), -np.eye(n)])
+    b = np.concatenate([[1.0], [3.0], np.full(n, 1.0), np.full(n, 1.0)])
+    Ky = [ConeConstraint(Cone.ZERO, [0, 1]),
+          ConeConstraint(Cone.NON_NEG, range(2, 2 + 2 * n))]
+    r = solve_cone(A, b, np.zeros(n), Kx=(), Ky=Ky, P=P, dtype=np.float64,
+                   abs_tol=1e-6, rel_tol=1e-6, max_iter=5000)
+    assert Status(r["status"]) == Status.INFEASIBLE
+
+    P2 = np.zeros((n, n))
+    P2[0, 0] = 1.0           # singular P: descent direction in null(P)
+    c2 = np.zeros(n)
+    c2[1] = 1.0              # min x2, x2 unbounded below
+    r2 = solve_cone(np.eye(n)[:1], np.array([1.0]), c2, Kx=(),
+                    Ky=[ConeConstraint(Cone.NON_NEG, [0])], P=P2,
+                    dtype=np.float64, abs_tol=1e-6, rel_tol=1e-6,
+                    max_iter=5000)
+    assert Status(r2["status"]) == Status.UNBOUNDED
