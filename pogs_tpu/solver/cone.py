@@ -61,6 +61,7 @@ class ConeSolver:
         dtype=None,
         assume_svec: bool = False,
         qp_via: str = "socp",
+        sparse_policy: str = "auto",
     ):
         if qp_via not in ("admm", "socp"):
             raise ValueError(f"unknown qp_via {qp_via!r}")
@@ -68,6 +69,23 @@ class ConeSolver:
         if dtype is None:
             in_dtype = getattr(A, "dtype", None) or jnp.float32
             dtype = jnp.result_type(in_dtype, jnp.float32)
+        if sparse_policy not in ("auto", "keep", "densify"):
+            raise ValueError(f"unknown sparse_policy {sparse_policy!r}")
+        # Same auto-densify policy as GraphFormSolver (graph.py): TPUs
+        # have no useful gather hardware, so below ~99.5% sparsity a
+        # dense MXU matvec beats every sparse path by 20x+; 'auto'
+        # densifies TPU-resident sparse inputs that fit the budget.
+        is_sparse_input = hasattr(A, "tocoo") or (
+            hasattr(A, "todense") and not isinstance(A, np.ndarray)
+        )
+        if is_sparse_input and sparse_policy != "keep":
+            m_, n_ = A.shape
+            size_ok = (m_ * n_ * jnp.dtype(dtype).itemsize
+                       <= (1 << 30))
+            on_tpu = jax.default_backend() == "tpu"
+            if sparse_policy == "densify" or (size_ok and on_tpu):
+                A = (A.toarray() if hasattr(A, "toarray")
+                     else np.asarray(A.todense()))
         self._A_raw = A
         Aop = as_matrix_op(A, dtype)
         self.m, self.n = Aop.shape

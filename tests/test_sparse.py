@@ -107,3 +107,25 @@ def test_builders_keep_sparse(rng):
     dense_out = solve_lasso(np.asarray(A.todense()), b, lam,
                             abs_tol=1e-5, rel_tol=1e-5)
     assert out["optval"] == pytest.approx(dense_out["optval"], rel=1e-3)
+
+
+def test_cone_solver_sparse_policy():
+    """ConeSolver mirrors GraphFormSolver's auto-densify policy: 'keep'
+    preserves BCOO; 'densify' forces dense (and the direct projector);
+    'auto' keeps sparse on the CPU backend (the TPU branch is
+    size-gated)."""
+    import scipy.sparse as sp
+
+    from pogs_tpu.solver.cone import ConeSolver
+    from pogs_tpu.types import Cone, ConeConstraint
+
+    A = sp.random(30, 20, density=0.2, random_state=0, format="csr")
+    Ky = [ConeConstraint(Cone.NON_NEG, range(30))]
+    s_keep = ConeSolver(A, Ky=Ky, sparse_policy="keep")
+    assert s_keep.A.is_sparse
+    s_dense = ConeSolver(A, Ky=Ky, sparse_policy="densify")
+    assert not s_dense.A.is_sparse
+    s_auto = ConeSolver(A, Ky=Ky)  # cpu backend: stays sparse
+    assert s_auto.A.is_sparse
+    with pytest.raises(ValueError, match="sparse_policy"):
+        ConeSolver(A, Ky=Ky, sparse_policy="bogus")
