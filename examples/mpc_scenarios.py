@@ -62,5 +62,38 @@ def main(n=12, K=16):
     assert bool((np.asarray(warm["status"]) == 0).all())
 
 
+def quadratic_costs(n=10, K=8):
+    """Scenario QPs with quadratic stage costs (round-3 batched_qp_solve):
+    K tracking problems min ½(x−t_k)ᵀQ(x−t_k) over a box, one shared
+    (A, Q).  The epigraph-SOC extension is built once; the sweep is one
+    vmapped HSDE solve; each lane finishes with the host-f64 PDAS polish."""
+    from pogs_tpu.parallel import batched_qp_solve
+    from pogs_tpu.types import Cone, ConeConstraint, SolverSettings
+
+    banner(f"Scenario-batched QP (quadratic tracking): {K} scenarios, n={n}")
+    rng = np.random.default_rng(7)
+    B = rng.standard_normal((n, n))
+    Q = B @ B.T + 0.5 * np.eye(n)
+    targets = rng.uniform(-2.0, 2.0, size=(K, n))
+    c_batch = -(targets @ Q)          # min ½xᵀQx − tᵀQx  (+ const)
+    A = np.vstack([np.eye(n), -np.eye(n)])
+    b_batch = np.broadcast_to(np.ones(2 * n), (K, 2 * n)).copy()  # |x| ≤ 1
+    Ky = [ConeConstraint(Cone.NON_NEG, range(2 * n))]
+    st = SolverSettings(abs_tol=1e-6, rel_tol=1e-6, max_iter=20000)
+    out = batched_qp_solve(A, Q, b_batch, c_batch, Ky, settings=st)
+    ok = int((out["status"] == 0).sum())
+    print(f"  {ok}/{K} scenarios SUCCESS; "
+          f"{int(out['polished'].sum())} polished; "
+          f"optval range [{out['optval'].min():.3f}, {out['optval'].max():.3f}]")
+    # Unconstrained solution clipped to the box is optimal only when the
+    # box is inactive; check the in-box scenarios analytically.
+    for k in range(K):
+        x_free = targets[k]
+        if np.all(np.abs(x_free) <= 1.0):
+            expect = c_batch[k] @ x_free + 0.5 * x_free @ Q @ x_free
+            assert abs(out["optval"][k] - expect) < 1e-6 * (1 + abs(expect))
+
+
 if __name__ == "__main__":
     main()
+    quadratic_costs()
