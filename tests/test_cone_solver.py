@@ -323,3 +323,36 @@ def test_qp_certificates_flow_through_epigraph():
                     dtype=np.float64, abs_tol=1e-6, rel_tol=1e-6,
                     max_iter=5000)
     assert Status(r2["status"]) == Status.UNBOUNDED
+
+
+def test_qp_with_soc_constraint_vs_slsqp():
+    """QP over a mixed SOC+box cone: non-polyhedral K_y means no PDAS
+    polish, so this pins the raw HSDE-epigraph accuracy on the
+    trust-region-style problem min ½xᵀPx + cᵀx s.t. ‖x−x₀‖ ≤ r, |x| ≤ 2."""
+    from scipy.optimize import minimize
+
+    from pogs_tpu.api.cone import solve_cone
+    from pogs_tpu.types import Cone, ConeConstraint
+
+    rng = np.random.default_rng(4)
+    n = 10
+    B = rng.normal(size=(n, n))
+    P = B @ B.T + np.eye(n)
+    c = rng.normal(size=n)
+    x0 = rng.normal(size=n) * 0.3
+    r_ball = 0.8
+    A = np.vstack([np.zeros((1, n)), -np.eye(n), np.eye(n), -np.eye(n)])
+    b = np.concatenate([[r_ball], -x0, np.full(n, 2.0), np.full(n, 2.0)])
+    Ky = [ConeConstraint(Cone.SOC, range(n + 1)),
+          ConeConstraint(Cone.NON_NEG, range(n + 1, n + 1 + 2 * n))]
+    out = solve_cone(A, b, c, Kx=(), Ky=Ky, P=P, dtype=np.float64,
+                     abs_tol=1e-7, rel_tol=1e-7, max_iter=40000)
+    ref = minimize(
+        lambda x: 0.5 * x @ P @ x + c @ x, x0, jac=lambda x: P @ x + c,
+        constraints=[{"type": "ineq",
+                      "fun": lambda x: r_ball**2 - (x - x0) @ (x - x0),
+                      "jac": lambda x: -2 * (x - x0)}],
+        bounds=[(-2.0, 2.0)] * n, method="SLSQP",
+        options={"maxiter": 1000, "ftol": 1e-14})
+    assert out["status"] == 0
+    assert out["optval"] == pytest.approx(float(ref.fun), rel=1e-5, abs=1e-5)
