@@ -57,6 +57,14 @@ from pogs_tpu.api.graph import (
     solve_svm,
     solve_nonneg_ls,
 )
+from pogs_tpu.api.diff import (
+    make_diff_solver,
+    diff_lasso,
+    diff_ridge,
+    diff_elastic_net,
+    diff_logistic,
+    diff_nonneg_ls,
+)
 from pogs_tpu.utils.profiling import trace, PhaseTimer, device_time
 from pogs_tpu.utils.checkpoint import save_state, load_state
 
@@ -94,6 +102,12 @@ __all__ = [
     "solve_huber",
     "solve_svm",
     "solve_nonneg_ls",
+    "make_diff_solver",
+    "diff_lasso",
+    "diff_ridge",
+    "diff_elastic_net",
+    "diff_logistic",
+    "diff_nonneg_ls",
     "trace",
     "PhaseTimer",
     "device_time",
