@@ -64,6 +64,7 @@ from pogs_tpu.api.diff import (
     diff_elastic_net,
     diff_logistic,
     diff_nonneg_ls,
+    diff_qp,
 )
 from pogs_tpu.utils.profiling import trace, PhaseTimer, device_time
 from pogs_tpu.utils.checkpoint import save_state, load_state
@@ -108,6 +109,7 @@ __all__ = [
     "diff_elastic_net",
     "diff_logistic",
     "diff_nonneg_ls",
+    "diff_qp",
     "trace",
     "PhaseTimer",
     "device_time",

@@ -76,6 +76,7 @@ __all__ = [
     "diff_elastic_net",
     "diff_logistic",
     "diff_nonneg_ls",
+    "diff_qp",
 ]
 
 _DIFF_CACHE: dict = {}
@@ -356,6 +357,67 @@ def diff_logistic(A, b, lam=0.0, settings=None, **kw):
         settings=settings, **kw,
     )
     return fn(A, fp, gp)
+
+
+def diff_qp(P, q, G=None, h=None, A=None, b=None, settings=None, **kw):
+    """Differentiable QP layer (OptNet-style), entirely on device:
+
+        minimize   (1/2) x'Px + q'x
+        subject to Gx <= h,  Ax = b
+
+    differentiable w.r.t. every argument.  Returns ``(x, aux)``.
+
+    Construction: P = L'L via Cholesky (P must be positive definite; add a
+    small ridge for PSD inputs), then the QP is the GRAPH-FORM problem
+
+        minimize  (1/2)||y_L||^2 + I(y_G <= h) + I(y_A = b) + q'x
+        s.t.      [y_L; y_G; y_A] = [L; G; A] x
+
+    i.e. stacked SQUARE / shifted-INDLE0 / shifted-INDEQ0 rows over the
+    stacked matrix — no new machinery: the same Douglas-Rachford implicit
+    differentiation as every other family (module docstring).  Gradients
+    w.r.t. P flow through the (differentiable) Cholesky factor and the
+    stacked-matrix rows.  The layer composes with jit/grad/vmap, so a
+    batch of QPs is one ``jax.vmap(diff_qp, ...)`` — the convex-layer
+    pattern of OptNet/cvxpylayers, natively on TPU.
+    """
+    P = jnp.asarray(P)
+    dt = P.dtype
+    n = P.shape[0]
+    q = jnp.asarray(q, dt)
+    L = jnp.linalg.cholesky((P + P.T) / 2)
+    rows = [L.T]  # L'x rows give (1/2)||L'x||^2 = (1/2) x'Px... see below
+    # Careful: cholesky returns lower L with P = L L'; the quadratic rows
+    # need M with M x such that ||M x||^2 = x'Px, i.e. M = L'.
+    h_blocks = [np.full(n, Function.SQUARE, np.int32)]
+    b_shift = [jnp.zeros(n, dt)]
+    if G is not None:
+        G = jnp.asarray(G, dt)
+        h_vec = jnp.asarray(h, dt)
+        rows.append(G)
+        h_blocks.append(np.full(G.shape[0], Function.INDLE0, np.int32))
+        b_shift.append(h_vec)
+    if A is not None:
+        A = jnp.asarray(A, dt)
+        b_vec = jnp.asarray(b, dt)
+        rows.append(A)
+        h_blocks.append(np.full(A.shape[0], Function.INDEQ0, np.int32))
+        b_shift.append(b_vec)
+    A_stack = jnp.concatenate(rows, axis=0)
+    m = A_stack.shape[0]
+    h_f = np.concatenate(h_blocks)
+    fp = (
+        jnp.ones(m, dt),
+        jnp.concatenate(b_shift),
+        jnp.ones(m, dt),
+        jnp.zeros(m, dt),
+        jnp.zeros(m, dt),
+    )
+    gp = (jnp.ones(n, dt), jnp.zeros(n, dt), jnp.ones(n, dt), q, jnp.zeros(n, dt))
+    fn = make_diff_solver(
+        h_f, np.full(n, Function.ZERO, np.int32), settings=settings, **kw,
+    )
+    return fn(A_stack, fp, gp)
 
 
 def diff_nonneg_ls(A, b, settings=None, **kw):

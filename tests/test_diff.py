@@ -17,6 +17,7 @@ from pogs_tpu.api.diff import (
     diff_lasso,
     diff_logistic,
     diff_nonneg_ls,
+    diff_qp,
     diff_ridge,
     make_diff_solver,
 )
@@ -177,6 +178,137 @@ def test_nonneg_ls_active_constraints_grad(rng):
     eps = 1e-6
     fd = (float(loss(b + eps * V)) - float(loss(b - eps * V))) / (2 * eps)
     assert float(jnp.vdot(g, V)) == pytest.approx(fd, rel=5e-3, abs=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# diff_qp: OptNet-style QP layer
+# ---------------------------------------------------------------------------
+
+def _rand_spd(rng, n, cond=10.0):
+    Q = np.linalg.qr(rng.standard_normal((n, n)))[0]
+    lams = np.geomspace(1.0, cond, n)
+    return jnp.asarray(Q @ np.diag(lams) @ Q.T)
+
+
+def _eq_qp_closed_form(P, q, A, b):
+    """KKT solve for min 1/2 x'Px + q'x  s.t. Ax = b (autodiffable oracle)."""
+    n, p = P.shape[0], A.shape[0]
+    K = jnp.block([[P, A.T], [A, jnp.zeros((p, p), P.dtype)]])
+    rhs = jnp.concatenate([-q, b])
+    return jnp.linalg.solve(K, rhs)[:n]
+
+
+def test_diff_qp_equality_matches_kkt(rng):
+    n, p = 8, 3
+    P = _rand_spd(rng, n)
+    q = jnp.asarray(rng.standard_normal(n))
+    A = jnp.asarray(rng.standard_normal((p, n)))
+    b = jnp.asarray(rng.standard_normal(p))
+    x, aux = diff_qp(P, q, A=A, b=b, settings=TIGHT)
+    x_cf = _eq_qp_closed_form(P, q, A, b)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_cf), atol=1e-6)
+    assert int(aux["status"]) == 0
+
+
+def test_diff_qp_grads_vs_analytic_equality(rng):
+    n, p = 6, 2
+    P = _rand_spd(rng, n)
+    A = jnp.asarray(rng.standard_normal((p, n)))
+    b = jnp.asarray(rng.standard_normal(p))
+    w = jnp.asarray(rng.standard_normal(n))
+
+    def li(q_, b_):
+        x, _ = diff_qp(P, q_, A=A, b=b_, settings=TIGHT)
+        return jnp.dot(w, x)
+
+    def la(q_, b_):
+        return jnp.dot(w, _eq_qp_closed_form(P, q_, A, b_))
+
+    q0 = jnp.asarray(rng.standard_normal(n))
+    gq_i, gb_i = jax.grad(li, argnums=(0, 1))(q0, b)
+    gq_a, gb_a = jax.grad(la, argnums=(0, 1))(q0, b)
+    np.testing.assert_allclose(np.asarray(gq_i), np.asarray(gq_a), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gb_i), np.asarray(gb_a), atol=1e-5)
+
+
+def test_diff_qp_inequality_solution_and_grad(rng):
+    """Box-active QP: active rows behave as equalities locally, inactive
+    rows have zero sensitivity; check both via finite differences on h."""
+    n, mi = 7, 10
+    P = _rand_spd(rng, n)
+    q = jnp.asarray(rng.standard_normal(n))
+    G = jnp.asarray(rng.standard_normal((mi, n)))
+    x_uncon = jnp.linalg.solve(P, -q)
+    # Make about half the constraints active at the unconstrained optimum.
+    slack = np.where(rng.random(mi) < 0.5, -0.1, 0.5)
+    h = G @ x_uncon + jnp.asarray(slack)
+
+    # Oracle via scipy SLSQP at tight tolerance.
+    from scipy.optimize import minimize
+    Pn, qn, Gn, hn = map(np.asarray, (P, q, G, h))
+    res = minimize(
+        lambda x: 0.5 * x @ Pn @ x + qn @ x,
+        np.zeros(n),
+        jac=lambda x: Pn @ x + qn,
+        constraints=[{"type": "ineq", "fun": lambda x: hn - Gn @ x,
+                      "jac": lambda x: -Gn}],
+        method="SLSQP", options={"maxiter": 400, "ftol": 1e-14},
+    )
+    x, aux = diff_qp(P, q, G=G, h=h, settings=TIGHT)
+    np.testing.assert_allclose(np.asarray(x), res.x, atol=2e-5)
+
+    def loss(h_):
+        x_, _ = diff_qp(P, q, G=G, h=h_, settings=TIGHT)
+        return jnp.sum(x_ ** 2)
+
+    g = jax.grad(loss)(h)
+    V = jnp.asarray(rng.standard_normal(mi))
+    eps = 1e-6
+    fd = (float(loss(h + eps * V)) - float(loss(h - eps * V))) / (2 * eps)
+    assert float(jnp.vdot(g, V)) == pytest.approx(fd, rel=5e-3, abs=1e-7)
+
+
+def test_diff_qp_grad_P_vs_finite_diff(rng):
+    """Gradient through the quadratic term itself (flows through the
+    Cholesky factor of P into the stacked operator rows)."""
+    n = 5
+    P0 = _rand_spd(rng, n)
+    q = jnp.asarray(rng.standard_normal(n))
+    A = jnp.asarray(rng.standard_normal((2, n)))
+    b = jnp.asarray(rng.standard_normal(2))
+    V = rng.standard_normal((n, n))
+    V = jnp.asarray((V + V.T) / 2)  # keep P symmetric along the FD path
+
+    def loss(P_):
+        x, _ = diff_qp(P_, q, A=A, b=b, settings=TIGHT)
+        return jnp.sum(x ** 2)
+
+    def loss_a(P_):
+        return jnp.sum(_eq_qp_closed_form(P_, q, A, b) ** 2)
+
+    g = jax.grad(loss)(P0)
+    g_a = jax.grad(loss_a)(P0)
+    # Directional agreement with the analytic KKT oracle.
+    assert float(jnp.vdot(g, V)) == pytest.approx(
+        float(jnp.vdot(g_a, V)), rel=1e-3, abs=1e-8
+    )
+
+
+def test_diff_qp_vmap_batch(rng):
+    """A batch of QPs differing in q is one vmap — the convex-layer use."""
+    n, p, B = 6, 2, 4
+    P = _rand_spd(rng, n)
+    A = jnp.asarray(rng.standard_normal((p, n)))
+    b = jnp.asarray(rng.standard_normal(p))
+    qs = jnp.asarray(rng.standard_normal((B, n)))
+
+    xs = jax.vmap(lambda q_: diff_qp(P, q_, A=A, b=b, settings=TIGHT)[0])(qs)
+    for i in range(B):
+        np.testing.assert_allclose(
+            np.asarray(xs[i]),
+            np.asarray(_eq_qp_closed_form(P, qs[i], A, b)),
+            atol=1e-6,
+        )
 
 
 # ---------------------------------------------------------------------------
