@@ -1,0 +1,156 @@
+"""Packaged QP API (api/qp.py): solve_qp vs SLSQP/closed-form oracles,
+dual splitting + KKT checks, warm re-solve, sparse inputs.
+
+The reference has no user-facing QP entry (its QP-via-HSDE is broken by
+its own admission, src/cpu/pogs.cpp:1510-1514); these tests pin the
+pogs_tpu-only surface end to end.
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+from scipy.optimize import minimize
+
+from pogs_tpu import Status, solve_qp
+
+TOL = dict(abs_tol=1e-7, rel_tol=1e-7, max_iter=20000, dtype=np.float64)
+
+
+def _rand_qp(rng, n=12, n_eq=3, n_in=8, cond=100.0):
+    Q = np.linalg.qr(rng.standard_normal((n, n)))[0]
+    P = Q @ np.diag(np.geomspace(1.0, cond, n)) @ Q.T
+    q = rng.standard_normal(n)
+    A = rng.standard_normal((n_eq, n))
+    b = rng.standard_normal(n_eq)
+    G = rng.standard_normal((n_in, n))
+    # h chosen so some constraints are active, some slack
+    x0 = rng.standard_normal(n) * 0.1
+    h = G @ x0 + np.where(rng.random(n_in) < 0.5, 0.0, 0.8)
+    return P, q, G, h, A, b
+
+
+def _slsqp(P, q, G=None, h=None, A=None, b=None, lb=None, ub=None):
+    n = q.shape[0]
+    cons = []
+    if G is not None:
+        cons.append({"type": "ineq", "fun": lambda x: h - G @ x,
+                     "jac": lambda x: -G})
+    if A is not None:
+        cons.append({"type": "eq", "fun": lambda x: A @ x - b,
+                     "jac": lambda x: A})
+    bounds = None
+    if lb is not None or ub is not None:
+        lo = np.full(n, -np.inf) if lb is None else lb
+        hi = np.full(n, np.inf) if ub is None else ub
+        bounds = list(zip(lo, hi))
+    res = minimize(lambda x: 0.5 * x @ P @ x + q @ x, np.zeros(n),
+                   jac=lambda x: P @ x + q, constraints=cons, bounds=bounds,
+                   method="SLSQP", options={"maxiter": 500, "ftol": 1e-14})
+    assert res.success, res.message
+    return res
+
+
+def test_qp_eq_ineq_vs_slsqp(rng):
+    P, q, G, h, A, b = _rand_qp(rng)
+    ref = _slsqp(P, q, G, h, A, b)
+    out = solve_qp(P, q, G=G, h=h, A=A, b=b, **TOL)
+    assert Status(out["status"]) == Status.SUCCESS
+    assert out["optval"] == pytest.approx(ref.fun, rel=1e-6, abs=1e-7)
+    np.testing.assert_allclose(out["x"], ref.x, atol=2e-5)
+
+
+def test_qp_dual_kkt(rng):
+    P, q, G, h, A, b = _rand_qp(rng)
+    out = solve_qp(P, q, G=G, h=h, A=A, b=b, **TOL)
+    y, z = out["y_eq"], out["z_ineq"]
+    scale = 1.0 + max(np.abs(P @ out["x"] + q).max(), np.abs(h).max())
+    # stationarity: Px + q + A'y + G'z = 0
+    stat = P @ out["x"] + q + A.T @ y + G.T @ z
+    assert np.abs(stat).max() < 1e-5 * scale
+    # dual feasibility + complementarity on the inequality block
+    s = h - G @ out["x"]
+    assert z.min() > -1e-7 * scale
+    assert np.abs(z * s).max() < 1e-5 * scale
+
+
+def test_qp_bounds_only_box(rng):
+    n = 10
+    Q = np.linalg.qr(rng.standard_normal((n, n)))[0]
+    P = Q @ np.diag(np.geomspace(1.0, 50.0, n)) @ Q.T
+    q = rng.standard_normal(n) * 3
+    lb = -0.4 * np.ones(n)
+    ub = 0.3 * np.ones(n)
+    ref = _slsqp(P, q, lb=lb, ub=ub)
+    out = solve_qp(P, q, lb=lb, ub=ub, **TOL)
+    assert Status(out["status"]) == Status.SUCCESS
+    np.testing.assert_allclose(out["x"], ref.x, atol=2e-5)
+    assert out["x"].min() >= lb[0] - 1e-6 and out["x"].max() <= ub[0] + 1e-6
+    # bound-dual stationarity: Px + q + z_ub - z_lb = 0
+    stat = P @ out["x"] + q + out["z_ub"] - out["z_lb"]
+    assert np.abs(stat).max() < 1e-4 * (1 + np.abs(q).max())
+    assert out["z_ub"].min() > -1e-8 and out["z_lb"].min() > -1e-8
+
+
+def test_qp_partial_bounds(rng):
+    """Mixed finite/infinite bounds only stack the finite rows."""
+    n = 8
+    P = np.eye(n)
+    q = -np.arange(1.0, n + 1.0)
+    lb = np.full(n, -np.inf)
+    lb[::2] = 0.5  # only even coordinates bounded below... binding? x*=k>=0.5
+    ub = np.full(n, np.inf)
+    ub[1] = 1.0  # x1* would be 2 -> clamps to 1
+    ref = _slsqp(P, q, lb=lb, ub=ub)
+    out = solve_qp(P, q, lb=lb, ub=ub, **TOL)
+    np.testing.assert_allclose(out["x"], ref.x, atol=2e-5)
+    # infinite-bound coordinates must carry exactly-zero bound duals
+    assert np.all(out["z_lb"][1::2] == 0.0)
+    assert np.all(out["z_ub"][[0] + list(range(2, n))] == 0.0)
+
+
+def test_qp_sparse_inputs(rng):
+    P, q, G, h, A, b = _rand_qp(rng, n=16, n_eq=4, n_in=10)
+    ref = _slsqp(P, q, G, h, A, b)
+    out = solve_qp(P, q, G=sp.csr_matrix(G), h=h, A=sp.csr_matrix(A), b=b,
+                   **TOL)
+    assert Status(out["status"]) == Status.SUCCESS
+    np.testing.assert_allclose(out["x"], ref.x, atol=5e-5)
+
+
+def test_qp_warm_resolve(rng):
+    """MPC pattern: perturb h/b, reuse result['solver'] with warm_start."""
+    P, q, G, h, A, b = _rand_qp(rng)
+    out = solve_qp(P, q, G=G, h=h, A=A, b=b, **TOL)
+    h2 = h + 1e-3 * rng.standard_normal(h.shape)
+    b2 = b + 1e-3 * rng.standard_normal(b.shape)
+    warm = solve_qp(P, q, G=G, h=h2, A=A, b=b2, solver=out["solver"],
+                    warm_start=True, **TOL)
+    ref = _slsqp(P, q, G, h2, A, b2)
+    np.testing.assert_allclose(warm["x"], ref.x, atol=5e-5)
+    assert warm["iterations"] <= out["iterations"]
+
+
+def test_qp_unconstrained_closed_form(rng):
+    n = 9
+    Q = np.linalg.qr(rng.standard_normal((n, n)))[0]
+    P = Q @ np.diag(np.geomspace(1.0, 30.0, n)) @ Q.T
+    q = rng.standard_normal(n)
+    out = solve_qp(P, q)
+    np.testing.assert_allclose(out["x"], np.linalg.solve(P, -q), atol=1e-9)
+    assert out["status_name"] == "SUCCESS"
+
+
+def test_qp_unconstrained_unbounded_raises(rng):
+    P = np.diag([1.0, 0.0])  # singular; q outside range(P)
+    q = np.array([0.0, 1.0])
+    with pytest.raises(ValueError, match="unbounded"):
+        solve_qp(P, q)
+
+
+def test_qp_mismatched_args_raise(rng):
+    P = np.eye(2)
+    q = np.zeros(2)
+    with pytest.raises(ValueError, match="G and h"):
+        solve_qp(P, q, G=np.eye(2))
+    with pytest.raises(ValueError, match="A and b"):
+        solve_qp(P, q, b=np.zeros(1))
