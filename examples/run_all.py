@@ -3,7 +3,7 @@ import importlib
 import sys, os
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-MODULES = ["lasso", "lasso_path", "logistic", "lp", "maros_qp", "nonneg_ls", "svm",
+MODULES = ["lasso", "lasso_path", "logistic", "lp", "maros_qp", "qp", "nonneg_ls", "svm",
            "quantile_regression", "huber_fit", "sdp", "portfolio",
            "lasso_path_batched", "native_runtime", "mpc_scenarios",
            "hyperparam_opt"]

@@ -64,8 +64,11 @@ def solve_qp(
     Tolerances/limits pass through as keyword arguments
     (``abs_tol``/``rel_tol``/``max_iter``/``dtype``/``qp_via``/...).
     Pass ``solver=`` a previous call's ``result["solver"]`` together
-    with ``warm_start=True`` for the re-solve pattern (only ``b``-side
-    data — h, b, lb, ub — may change between such calls).
+    with ``warm_start=True`` for the re-solve pattern: ``q``, ``h``,
+    ``b``, ``lb``, ``ub`` values may change between such calls (they are
+    solve-time arguments), but ``P``, ``G``, ``A`` and the pattern of
+    finite bounds must stay fixed (they are baked into the factorized
+    operator).
     """
     q = np.asarray(q, np.float64).ravel()
     n = q.shape[0]
