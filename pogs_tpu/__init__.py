@@ -67,6 +67,7 @@ from pogs_tpu.api.diff import (
     diff_nonneg_ls,
     diff_qp,
 )
+from pogs_tpu.api.diff_cone import make_diff_cone_solver, diff_cone_solve
 from pogs_tpu.utils.profiling import trace, PhaseTimer, device_time
 from pogs_tpu.utils.checkpoint import save_state, load_state
 
@@ -112,6 +113,8 @@ __all__ = [
     "diff_logistic",
     "diff_nonneg_ls",
     "diff_qp",
+    "make_diff_cone_solver",
+    "diff_cone_solve",
     "trace",
     "PhaseTimer",
     "device_time",
