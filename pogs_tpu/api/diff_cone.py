@@ -25,15 +25,14 @@ fixed-point residual are
 
 and Π_K is ``ConeSet.project`` — pure jnp, so its (generalized) Jacobian
 comes from autodiff: exact masks for Zero/NonNeg/NonPos rows, the
-closed-form SOC projection differentiated as written, and the eigh-clamp
-SDP projection through JAX's eigh derivative.  The backward pass solves
-one (m+n)-dimensional linear system per cotangent, independent of
-iteration count.
-
-Exponential cones are rejected: their projection is computed by a
-bisection whose unrolled autodiff derivative is structurally zero at the
-root (wrong, not just imprecise); a custom implicit-JVP rule is the
-future fix.
+closed-form SOC projection differentiated as written, the eigh-clamp
+SDP projection through JAX's eigh derivative, and the exponential-cone
+projection through its custom implicit-JVP rule (the raw bisection's
+unrolled autodiff tangent would be structurally zero at the root —
+``cones/projections.py::_exp_primal_tangent`` differentiates the
+projection's KKT system instead).  The backward pass solves one
+(m+n)-dimensional linear system per cotangent, independent of iteration
+count.
 
 The forward pass is the production HSDE path (equilibration + the jitted
 DR ``while_loop`` of ``solver/hsde.py``) wrapped in ``custom_vjp`` so
@@ -78,17 +77,11 @@ def make_diff_cone_solver(
     have no gradient semantics.
 
     Supported cones on the ``y`` rows: Zero, NonNeg, NonPos, SOC, SDP
-    (svec rows as in ``ConeSolver``).  EXP_PRIMAL/EXP_DUAL raise
-    ``NotImplementedError`` (see module docstring).
+    (svec rows as in ``ConeSolver``), EXP_PRIMAL and EXP_DUAL (via the
+    implicit-JVP projection rule of ``cones/projections.py``).
     """
     Ky = [c if isinstance(c, ConeConstraint) else ConeConstraint(*c)
           for c in Ky]
-    for c in Ky:
-        if c.cone in (Cone.EXP_PRIMAL, Cone.EXP_DUAL):
-            raise NotImplementedError(
-                "diff_cone: exponential-cone projections have no implicit "
-                "derivative rule yet (their bisection's unrolled autodiff "
-                "is structurally zero at the root)")
     if settings is None:
         settings = SolverSettings(abs_tol=1e-8, rel_tol=1e-8, max_iter=20000)
     if linear_solver not in ("auto", "dense", "gmres"):

@@ -11,6 +11,8 @@ exponential cones.
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -84,7 +86,7 @@ def project_sdp_packed(v, nmat: int, scaled: bool = False):
     return out
 
 
-def project_exp_primal(v, bisect_iters: int = 50):
+def _project_exp_primal_impl(v, bisect_iters: int = 50):
     """Project rows v=(r,s,t) onto cl K_exp = {(r,s,t): s>0, s e^{r/s} ≤ t}
     ∪ {(r,s,t): r ≤ 0, s = 0, t ≥ 0}.
 
@@ -187,6 +189,93 @@ def project_exp_primal(v, bisect_iters: int = 50):
     )
     best = jnp.argmin(d2, axis=-1)
     return jnp.take_along_axis(cands, best[..., None, None], axis=-2)[..., 0, :]
+
+
+def _exp_primal_tangent(v, p, dv):
+    """Generalized-Jacobian action dΠ_K(v)[dv] at p = Π_K(v), case-wise:
+
+    1. v in the cone:            dΠ = I
+    2. v in the polar cone:      dΠ = 0   (p = 0)
+    3. p on the ray face
+       {(x,0,z): x ≤ 0, z ≥ 0}: dΠ = diag(1{r<0}, 0, 1{t>0})
+    4. p on the smooth boundary (y > 0, φ(p) = y e^{x/y} − z = 0,
+       v − p = λ∇φ(p), λ > 0): implicit differentiation of the KKT
+       system  [p + λ∇φ(p) − v; φ(p)] = 0  in (p, λ) — one batched
+       4×4 solve:
+
+           [[I + λ∇²φ, ∇φ], [∇φᵀ, 0]] [dp; dλ] = [dv; 0]
+
+       with ∇φ = (w, w(1−u), −1), ∇²φ = (w/y)[[1,−u,0],[−u,u²,0],[0,0,0]],
+       u = x/y, w = e^u.
+
+    Case boundaries are measure-zero; any selection there is a valid
+    element of the generalized Jacobian.
+    """
+    dt = v.dtype
+    f32 = dt == jnp.float32
+    tol = 1e-5 if f32 else 1e-9
+    r, t = v[..., 0], v[..., 2]
+    y = p[..., 1]
+    sc = 1.0 + jnp.linalg.norm(v, axis=-1)
+    in_cone = jnp.linalg.norm(p - v, axis=-1) <= tol * sc
+    in_polar = jnp.linalg.norm(p, axis=-1) <= tol * sc
+    on_ray = y <= tol * sc
+    generic = ~(in_cone | in_polar | on_ray)
+
+    # --- case 4: batched 4x4 implicit solve (guarded where not generic) ---
+    y_safe = jnp.where(generic, jnp.maximum(y, tol), 1.0)
+    x_g = jnp.where(generic, p[..., 0], 0.0)
+    u = x_g / y_safe
+    w = jnp.exp(jnp.clip(u, -50.0, 50.0))
+    one = jnp.ones_like(w)
+    g = jnp.stack([w, w * (1.0 - u), -one], axis=-1)
+    lam = jnp.sum((v - p) * g, axis=-1) / jnp.sum(g * g, axis=-1)
+    lam = jnp.where(generic, jnp.maximum(lam, 0.0), 0.0)
+    coef = lam * w / y_safe
+    zero = jnp.zeros_like(w)
+    H = jnp.stack([
+        jnp.stack([coef, -coef * u, zero], axis=-1),
+        jnp.stack([-coef * u, coef * u * u, zero], axis=-1),
+        jnp.stack([zero, zero, zero], axis=-1),
+    ], axis=-2)
+    eye3 = jnp.eye(3, dtype=dt)
+    M = jnp.zeros(v.shape[:-1] + (4, 4), dt)
+    M = M.at[..., :3, :3].set(eye3 + H)
+    M = M.at[..., :3, 3].set(g)
+    M = M.at[..., 3, :3].set(g)
+    M = jnp.where(generic[..., None, None], M, jnp.eye(4, dtype=dt))
+    rhs = jnp.concatenate([dv, jnp.zeros_like(dv[..., :1])], axis=-1)
+    dp_gen = jnp.linalg.solve(M, rhs[..., None])[..., :3, 0]
+
+    dp_ray = jnp.stack([
+        jnp.where(r < 0, dv[..., 0], 0.0),
+        jnp.zeros_like(dv[..., 1]),
+        jnp.where(t > 0, dv[..., 2], 0.0),
+    ], axis=-1)
+
+    return jnp.where(
+        in_cone[..., None], dv,
+        jnp.where(in_polar[..., None], jnp.zeros_like(dv),
+                  jnp.where(on_ray[..., None], dp_ray, dp_gen)))
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(1,))
+def project_exp_primal(v, bisect_iters: int = 50):
+    """`_project_exp_primal_impl` with an implicit-differentiation JVP:
+    the unrolled bisection's own autodiff tangent is structurally zero at
+    the root (the lo/hi selects are piecewise-constant), so the custom
+    rule differentiates the projection's KKT system instead
+    (`_exp_primal_tangent`) — making exp cones first-class in
+    `diff_cone_solve` and anywhere else `ConeSet.project` is
+    differentiated."""
+    return _project_exp_primal_impl(v, bisect_iters)
+
+
+@project_exp_primal.defjvp
+def _project_exp_primal_jvp(bisect_iters, primals, tangents):
+    (v,), (dv,) = primals, tangents
+    p = _project_exp_primal_impl(v, bisect_iters)
+    return p, _exp_primal_tangent(v, p, dv)
 
 
 def project_exp_dual(v, bisect_iters: int = 80):

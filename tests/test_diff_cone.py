@@ -209,10 +209,93 @@ def test_jit_vmap_over_b_batch(rng):
                                    atol=1e-7)
 
 
-def test_exp_cone_rejected():
-    Ky = [ConeConstraint(Cone.EXP_PRIMAL, range(3))]
-    with pytest.raises(NotImplementedError, match="exponential"):
-        make_diff_cone_solver(Ky, 3, 2)
+# ---------------------------------------------------------------------------
+# Exponential cone: implicit-JVP projection rule
+# ---------------------------------------------------------------------------
+
+def _exp_proj_points():
+    """One representative v per Jacobian case of the exp projection."""
+    return {
+        "interior": jnp.asarray([0.1, 1.0, 4.0]),          # s e^{r/s} < t
+        "polar": jnp.asarray([0.5, -2.0, -1.0]),           # proj = 0
+        "ray": jnp.asarray([-2.0, -0.5, 1.5]),             # face (r<0, t>0)
+        "generic": jnp.asarray([1.0, 1.0, 1.0]),           # smooth boundary
+    }
+
+
+@pytest.mark.parametrize("case", ["interior", "polar", "ray", "generic"])
+def test_exp_projection_jacfwd_vs_finite_diff(rng, case):
+    from pogs_tpu.cones.projections import project_exp_primal
+
+    v = _exp_proj_points()[case][None, :]  # (1, 3) batch
+    J = jax.jacfwd(lambda v_: project_exp_primal(v_))(v)[0, :, 0, :]
+    eps = 1e-6
+    for k in range(3):
+        dv = np.zeros(3)
+        dv[k] = eps
+        fd = (project_exp_primal(v + dv[None]) -
+              project_exp_primal(v - dv[None]))[0] / (2 * eps)
+        np.testing.assert_allclose(np.asarray(J[:, k]), np.asarray(fd),
+                                   atol=5e-5, err_msg=f"{case} col {k}")
+
+
+def test_exp_projection_jacrev_matches_jacfwd():
+    """The custom JVP must transpose (reverse mode is what diff_cone's
+    gmres path uses)."""
+    from pogs_tpu.cones.projections import project_exp_primal
+
+    v = jnp.stack(list(_exp_proj_points().values()))
+    Jf = jax.jacfwd(lambda v_: project_exp_primal(v_))(v)
+    Jr = jax.jacrev(lambda v_: project_exp_primal(v_))(v)
+    np.testing.assert_allclose(np.asarray(Jf), np.asarray(Jr), atol=1e-12)
+
+
+def test_exp_dual_projection_grad_consistent():
+    from pogs_tpu.cones.projections import project_exp_dual
+
+    v = jnp.asarray([[0.3, -0.8, 1.7]])
+    J = jax.jacfwd(lambda v_: project_exp_dual(v_))(v)[0, :, 0, :]
+    eps = 1e-6
+    for k in range(3):
+        dv = np.zeros(3)
+        dv[k] = eps
+        fd = (project_exp_dual(v + dv[None]) -
+              project_exp_dual(v - dv[None]))[0] / (2 * eps)
+        np.testing.assert_allclose(np.asarray(J[:, k]), np.asarray(fd),
+                                   atol=5e-5)
+
+
+def test_exp_cone_solve_grad_vs_finite_diff(rng):
+    """Entropy-style problem: min c'x s.t. exp-cone rows + box, grad in b.
+
+    Constraint (u, 1, w) in K_exp with u = x0, w = x1 encoded as
+    b - Ax rows: rows (0: -x0 + b0 ... ) — build A, b so that
+    b - Ax = (x0, 1, x1) requires b = (0, 1, 0), A rows = (-e0; 0; -e1).
+    Then x1 >= e^{x0} must hold; minimize x1 - x0 => active boundary."""
+    n = 2
+    A_exp = np.array([[-1.0, 0.0], [0.0, 0.0], [0.0, -1.0]])
+    b_exp = np.array([0.0, 1.0, 0.0])
+    A = np.vstack([np.eye(n), -np.eye(n), A_exp])
+    b = np.concatenate([np.full(n, 3.0), np.full(n, 3.0), b_exp])
+    c = np.array([-1.0, 1.0])  # min x1 - x0 -> pushes onto x1 = e^{x0}
+    Ky = [ConeConstraint(Cone.NON_NEG, range(2 * n)),
+          ConeConstraint(Cone.EXP_PRIMAL, range(2 * n, 2 * n + 3))]
+    A, b, c = jnp.asarray(A), jnp.asarray(b), jnp.asarray(c)
+    st = SolverSettings(abs_tol=1e-9, rel_tol=1e-9, max_iter=40000)
+    x, aux = diff_cone_solve(A, b, c, Ky, settings=st)
+    assert int(aux["status"]) == 0
+    # optimum of x1 - x0 on x1 = e^{x0} is at x0 = 0, x1 = 1
+    np.testing.assert_allclose(np.asarray(x), [0.0, 1.0], atol=1e-5)
+
+    def loss(b_):
+        x_, _ = diff_cone_solve(A, b_, c, Ky, settings=st)
+        return jnp.sum(x_ ** 2)
+
+    g = jax.grad(loss)(b)
+    V = jnp.asarray(rng.standard_normal(b.shape))
+    eps = 1e-6
+    fd = (float(loss(b + eps * V)) - float(loss(b - eps * V))) / (2 * eps)
+    assert float(jnp.vdot(g, V)) == pytest.approx(fd, rel=5e-3, abs=1e-7)
 
 
 def test_gmres_matches_dense(rng):
