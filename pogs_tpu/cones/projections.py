@@ -98,13 +98,14 @@ def _project_exp_primal_impl(v, bisect_iters: int = 50):
 
     F has a pole where e^{2u} + u = 0 and a sign structure the reference's
     single [-50,50] bisection can silently miss (losing the root and
-    returning an infeasible point).  We instead (a) bisect each side of the
-    (unique) pole separately on a cancellation-free reformulation of F,
-    and (b) select the final answer as the closest **feasible** candidate
-    among {v if in-cone, the ray point, 0, the boundary points from the
-    two roots} — the projection is unique, so feasible-nearest is exact
-    whenever the candidate set contains it, and never returns an
-    infeasible point.  Fully vectorized over the batch.
+    returning an infeasible point).  We instead (a) grid-scan each side of
+    the (unique) pole on a cancellation-free reformulation of F and bisect
+    EVERY sign-change bracket (F can have several roots per branch; only
+    the λ ≥ 0 one is the projection), and (b) select the final answer as
+    the closest **valid** candidate among {v if in-cone, the ray point, 0,
+    the boundary points from the roots} — the projection is unique, so
+    feasible-nearest is exact whenever the candidate set contains it, and
+    never returns an infeasible point.  Fully vectorized over the batch.
     """
     dt = v.dtype
     f32 = dt == jnp.float32
@@ -134,9 +135,7 @@ def _project_exp_primal_impl(v, bisect_iters: int = 50):
         G = w2 * (s - r * (1.0 - u)) + u * (s + t * w * (1.0 - u)) - t * w - r
         return jnp.sign(G) * jnp.sign(w2 + u)
 
-    def bisect(lo0, hi0):
-        lo = jnp.full_like(r, lo0)
-        hi = jnp.full_like(r, hi0)
+    def bisect(lo, hi):
         slo = sign_F(lo)
         for _ in range(bisect_iters):
             mid = 0.5 * (lo + hi)
@@ -145,22 +144,53 @@ def _project_exp_primal_impl(v, bisect_iters: int = 50):
             hi = jnp.where(go_right, hi, mid)
         return 0.5 * (lo + hi)
 
-    uA = bisect(-U, u_pole - eps)   # left branch (denominator < 0)
-    uB = bisect(u_pole + eps, U)    # right branch (denominator > 0)
+    # G can have SEVERAL roots per branch, and only the KKT-valid one
+    # (λ(u) ≥ 0) is the projection: a single whole-branch bisection can
+    # converge to an invalid root while missing the valid one, producing
+    # a feasible-but-suboptimal "projection" (observed on ~1% of random
+    # points; SLSQP-verified).  Scan each branch on a fixed grid, bisect
+    # EVERY sign-change bracket (up to _N_KEEP per branch), and let the
+    # λ ≥ 0 filter in gen_candidate discard invalid roots.
+    N_GRID, N_KEEP = 65, 3
 
-    def gen_candidate(u):
-        """Exact boundary point from a root u; feasible iff z > 0."""
+    def branch_roots(lo0, hi0):
+        us = jnp.linspace(jnp.asarray(lo0, dt), jnp.asarray(hi0, dt), N_GRID)
+        sg = sign_F(us.reshape((N_GRID,) + (1,) * r.ndim))
+        flip = sg[:-1] * sg[1:] <= 0
+        rank = jnp.cumsum(flip, axis=0)
+        roots = []
+        for j in range(1, N_KEEP + 1):
+            sel = flip & (rank == j)
+            has = jnp.any(sel, axis=0)
+            idx = jnp.argmax(sel, axis=0)
+            u_root = bisect(us[idx], us[idx + 1])
+            roots.append((u_root, has))
+        return roots
+
+    def gen_candidate(u, bracketed):
+        """Exact boundary point from a root u; valid iff the bracket is
+        real, z > 0, and the KKT multiplier is nonnegative.
+
+        Uses the cancellation-free identities
+            λ(u)  = (r w − u t)/(w² + u) = −t + w (r + t w)/(w² + u)
+            z*    = t + λ = w (r + t w)/(w² + u)
+            y*    = z*/w  =    (r + t w)/(w² + u)
+        so z*, y* stay accurate as w → 0 (projections near the z = 0 edge,
+        where the t + λ form loses ~6 digits to cancellation)."""
         w = safe_exp(u)
         denom = w * w + u
         denom = jnp.where(jnp.abs(denom) < 1e-30, jnp.asarray(1e-30, dt), denom)
-        lam = jnp.maximum((r * w - u * t) / denom, 0.0)
-        z_star = t + lam
-        y_star = z_star / w
-        x_star = u * y_star
-        return jnp.stack([x_star, y_star, z_star], axis=-1), z_star > 0
+        num = (r + t * w) / denom
+        z_star = w * num
+        y_star = num
+        x_star = u * num
+        lam_raw = z_star - t
+        feas = bracketed & (z_star > 0) & (lam_raw >= -tol * (1.0 + jnp.abs(t)))
+        return jnp.stack([x_star, y_star, z_star], axis=-1), feas
 
-    genA, feasA = gen_candidate(uA)
-    genB, feasB = gen_candidate(uB)
+    gens = [gen_candidate(u, has)
+            for u, has in (branch_roots(-U, u_pole - eps)
+                           + branch_roots(u_pole + eps, U))]
 
     ray = jnp.stack(
         [jnp.minimum(r, 0.0), jnp.zeros_like(s), jnp.maximum(t, 0.0)], axis=-1
@@ -176,15 +206,14 @@ def _project_exp_primal_impl(v, bisect_iters: int = 50):
         return jnp.sum((c - v) ** 2, axis=-1)
 
     INF = jnp.asarray(jnp.finfo(dt).max, dt)
-    cands = jnp.stack([v, ray, zero, genA, genB], axis=-2)  # (..., 5, 3)
+    cands = jnp.stack([v, ray, zero] + [g for g, _ in gens], axis=-2)
     d2 = jnp.stack(
         [
             jnp.where(v_in_cone, dist2(v), INF),
             dist2(ray),
             dist2(zero),
-            jnp.where(feasA, dist2(genA), INF),
-            jnp.where(feasB, dist2(genB), INF),
-        ],
+        ]
+        + [jnp.where(feas, dist2(g), INF) for g, feas in gens],
         axis=-1,
     )
     best = jnp.argmin(d2, axis=-1)

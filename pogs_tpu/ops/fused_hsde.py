@@ -106,11 +106,12 @@ def _soc_project(seg):
 def _exp_primal_project(seg, bisect_iters: int = 50):
     """Mosaic-safe exp-cone projection of ONE (1, 3) segment.
 
-    Same algorithm as cones/projections.py::project_exp_primal (two-branch
-    cancellation-free bisection + feasible-nearest candidate selection),
-    but every intermediate stays rank-2 and the argmin/take_along_axis
-    gather is replaced by sequential where-selection — Mosaic supports
-    neither 1-D vectors nor >2-D gathers inside kernels."""
+    Same algorithm as cones/projections.py::project_exp_primal
+    (per-branch multi-bracket bisection + valid-nearest candidate
+    selection), but every intermediate stays rank-2 and the
+    argmin/take_along_axis gather is replaced by sequential
+    where-selection — Mosaic supports neither 1-D vectors nor >2-D
+    gathers inside kernels."""
     dt = seg.dtype
     f32 = dt == jnp.float32
     tol = jnp.asarray(1e-6 if f32 else 1e-8, dt)
@@ -131,9 +132,7 @@ def _exp_primal_project(seg, bisect_iters: int = 50):
     u_pole = -0.4263027510068963
     eps = 1e-6 if f32 else 1e-9
 
-    def bisect(lo0, hi0):
-        lo = jnp.full_like(r, lo0)
-        hi = jnp.full_like(r, hi0)
+    def bisect(lo, hi):
         slo = sign_F(lo)
         for _ in range(bisect_iters):
             mid = 0.5 * (lo + hi)
@@ -142,21 +141,49 @@ def _exp_primal_project(seg, bisect_iters: int = 50):
             hi = jnp.where(go_right, hi, mid)
         return 0.5 * (lo + hi)
 
-    uA = bisect(-U, u_pole - eps)
-    uB = bisect(u_pole + eps, U)
+    # Multi-bracket scan per branch (same constants as projections.py —
+    # trajectory parity): G can have several roots per branch and only
+    # the KKT-valid one (λ ≥ 0) is the projection.  Sequential
+    # where-selection bracket bookkeeping instead of cumsum/argmax —
+    # Mosaic-safe rank-2 registers.
+    N_GRID, N_KEEP = 65, 3
 
-    def gen_candidate(u):
+    def branch_roots(lo0, hi0):
+        us = np.linspace(lo0, hi0, N_GRID)
+        prev_u = jnp.full_like(r, us[0])
+        prev_s = sign_F(prev_u)
+        false2 = jnp.zeros_like(r) > jnp.ones_like(r)
+        br = [(prev_u, prev_u, false2) for _ in range(N_KEEP)]
+        count = jnp.zeros_like(r, jnp.int32)
+        for ui in us[1:]:
+            cur_u = jnp.full_like(r, ui)
+            cur_s = sign_F(cur_u)
+            flip = prev_s * cur_s <= 0
+            br = [
+                (jnp.where(flip & (count == j), prev_u, blo),
+                 jnp.where(flip & (count == j), cur_u, bhi),
+                 bhas | (flip & (count == j)))
+                for j, (blo, bhi, bhas) in enumerate(br)
+            ]
+            count = count + flip.astype(jnp.int32)
+            prev_u, prev_s = cur_u, cur_s
+        return [(bisect(blo, bhi), bhas) for blo, bhi, bhas in br]
+
+    def gen_candidate(u, bracketed):
+        # Cancellation-free forms (projections.py::gen_candidate):
+        #   z* = w (r + t w)/(w² + u),  y* = z*/w,  λ = z* − t
         w = safe_exp(u)
         denom = w * w + u
         denom = jnp.where(jnp.abs(denom) < 1e-30, jnp.asarray(1e-30, dt), denom)
-        lam = jnp.maximum((r * w - u * t) / denom, 0.0)
-        z_star = t + lam
-        y_star = z_star / w
-        x_star = u * y_star
-        return jnp.concatenate([x_star, y_star, z_star], axis=1), z_star > 0
+        num = (r + t * w) / denom
+        z_star = w * num
+        feas = bracketed & (z_star > 0) \
+            & (z_star - t >= -tol * (1.0 + jnp.abs(t)))
+        return jnp.concatenate([u * num, num, z_star], axis=1), feas
 
-    genA, feasA = gen_candidate(uA)
-    genB, feasB = gen_candidate(uB)
+    gens = [gen_candidate(u, has)
+            for u, has in (branch_roots(-U, u_pole - eps)
+                           + branch_roots(u_pole + eps, U))]
     ray = jnp.concatenate(
         [jnp.minimum(r, 0.0), jnp.zeros_like(sv), jnp.maximum(t, 0.0)], axis=1
     )
@@ -170,11 +197,11 @@ def _exp_primal_project(seg, bisect_iters: int = 50):
     def d2(cand):
         return jnp.sum((cand - seg) ** 2, axis=1, keepdims=True)
 
-    # Same candidate ORDER as projections.py (v, ray, zero, genA, genB);
+    # Same candidate ORDER as projections.py (v, ray, zero, gens...);
     # strict < keeps the first minimum exactly like argmin does.
     best = seg
     best_d = jnp.where(in_cone, d2(seg), INF)
-    for cand, feas in ((ray, None), (zero, None), (genA, feasA), (genB, feasB)):
+    for cand, feas in [(ray, None), (zero, None)] + gens:
         dd = d2(cand)
         if feas is not None:
             dd = jnp.where(feas, dd, INF)

@@ -135,6 +135,46 @@ def test_exp_primal_general_feasible_and_optimal(rng):
             )
 
 
+def test_exp_primal_multiroot_regression():
+    """Points where the KKT residual G has SEVERAL roots on one branch:
+    a single whole-branch bisection lands on a λ<0 (invalid) root and
+    returns a feasible but suboptimal point.  The multi-bracket scan must
+    find the valid root; oracle d² values were verified with SLSQP from
+    many starts."""
+    pts = np.array([
+        [-0.66891234, 1.95006689, 1.16531048],
+        [-0.1722013, 1.18620918, 0.68929045],
+    ])
+    d2_opt = np.array([0.0200935505711086, 0.0429971935234799])
+    out = np.asarray(project_exp_primal(jnp.asarray(pts, jnp.float64)))
+    d2 = np.sum((out - pts) ** 2, axis=1)
+    np.testing.assert_allclose(d2, d2_opt, rtol=1e-10)
+
+
+def test_exp_primal_kkt_fuzz(rng):
+    """Every smooth-boundary projection must satisfy the normal-cone
+    condition v − p = λ∇φ(p), λ ≥ 0 to near machine precision (the
+    cancellation-free candidate forms keep this tight even as the
+    projection approaches the z = 0 edge, where w = e^{x/y} → 0)."""
+    V = rng.standard_normal((500, 3)) * np.array([2.0, 1.5, 2.0])
+    P = np.asarray(project_exp_primal(jnp.asarray(V, jnp.float64)))
+    checked = 0
+    for v, p in zip(V, P):
+        d = v - p
+        if (np.linalg.norm(d) < 1e-9 or np.linalg.norm(p) < 1e-9
+                or p[1] < 1e-9):
+            continue  # interior / polar / ray-face cases
+        u = p[0] / p[1]
+        w = np.exp(np.clip(u, -200, 200))
+        g = np.array([w, w * (1 - u), -1.0])
+        lam = d @ g / (g @ g)
+        resid = np.linalg.norm(d - lam * g) / (1 + np.linalg.norm(v))
+        assert lam >= -1e-9, (v, p, lam)
+        assert resid < 1e-10, (v, p, resid)
+        checked += 1
+    assert checked > 100  # the fuzz must actually exercise the boundary case
+
+
 def test_exp_moreau_identity(rng):
     """v = Π_K(v) − Π_{K*}(−v) for the exponential cone pair."""
     pts = jnp.asarray(rng.normal(size=(128, 3)) * 3.0, jnp.float64)
