@@ -18,7 +18,7 @@ from pogs_tpu.api.diff import diff_qp
 from common import banner
 
 
-def main(n=4, ctx=3, batch=16, steps=60, seed=0):
+def main(n=4, ctx=3, batch=16, steps=90, seed=0):
     banner(f"OptNet-style QP layer: n={n} vars, {ctx}-dim context")
     rng = np.random.default_rng(seed)
     Q = np.linalg.qr(rng.standard_normal((n, n)))[0]
