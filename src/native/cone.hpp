@@ -81,6 +81,28 @@ inline double bisect_F(double lo, double hi, double r, double s, double t) {
   return 0.5 * (lo + hi);
 }
 
+// G can have SEVERAL roots per branch and only the KKT-valid one
+// (lambda >= 0) is the projection: a single whole-branch bisection can
+// land on an invalid root while missing the valid one (same fix as
+// cones/projections.py — grid-scan, bisect every sign-change bracket).
+inline int scan_branch_roots(double lo0, double hi0, double r, double s,
+                             double t, double* roots, int n_keep) {
+  constexpr int kGrid = 65;
+  const double step = (hi0 - lo0) / (kGrid - 1);
+  double prev_u = lo0;
+  double prev_s = sign_F(prev_u, r, s, t);
+  int count = 0;
+  for (int i = 1; i < kGrid && count < n_keep; ++i) {
+    const double cur_u = lo0 + step * i;
+    const double cur_s = sign_F(cur_u, r, s, t);
+    if (prev_s * cur_s <= 0)
+      roots[count++] = bisect_F(prev_u, cur_u, r, s, t);
+    prev_u = cur_u;
+    prev_s = cur_s;
+  }
+  return count;
+}
+
 }  // namespace detail
 
 inline void project_exp_primal(const double* v, double* out) {
@@ -104,20 +126,25 @@ inline void project_exp_primal(const double* v, double* out) {
   consider(std::min(r, 0.0), 0.0, std::max(t, 0.0));
   consider(0.0, 0.0, 0.0);
 
-  // Boundary points from the two root branches.
-  for (int branch = 0; branch < 2; ++branch) {
-    const double u = branch == 0
-        ? detail::bisect_F(-detail::kExpU, detail::kExpPole - 1e-9, r, s, t)
-        : detail::bisect_F(detail::kExpPole + 1e-9, detail::kExpU, r, s, t);
+  // Boundary points from EVERY bracketed root of both branches, using
+  // the cancellation-free forms z* = w(r + t w)/(w^2 + u), y* = z*/w
+  // (stable as w -> 0 near the z = 0 edge), filtered by lambda >= 0 —
+  // lambda < 0 roots are KKT-invalid and can otherwise win the
+  // nearest-candidate selection with a feasible but suboptimal point.
+  double roots[6];
+  int n_roots = detail::scan_branch_roots(
+      -detail::kExpU, detail::kExpPole - 1e-9, r, s, t, roots, 3);
+  n_roots += detail::scan_branch_roots(
+      detail::kExpPole + 1e-9, detail::kExpU, r, s, t, roots + n_roots, 3);
+  for (int k = 0; k < n_roots; ++k) {
+    const double u = roots[k];
     const double w = detail::safe_exp(u);
     double den = w * w + u;
     if (std::abs(den) < 1e-30) den = 1e-30;
-    const double lam = std::max((r * w - u * t) / den, 0.0);
-    const double z_star = t + lam;
-    if (z_star > 0) {
-      const double y_star = z_star / w;
-      consider(u * y_star, y_star, z_star);
-    }
+    const double num = (r + t * w) / den;
+    const double z_star = w * num;
+    if (z_star > 0 && z_star - t >= -tol * (1.0 + std::abs(t)))
+      consider(u * num, num, z_star);
   }
   out[0] = best[0]; out[1] = best[1]; out[2] = best[2];
 }

@@ -283,6 +283,29 @@ static void test_sdp_projection() {
   CHECK_NEAR(psd[2], 2.0, 1e-10);
 }
 
+static void test_exp_projection_multiroot() {
+  // Multi-root regression (same points as tests/test_cones.py): a single
+  // whole-branch bisection lands on a lambda<0 root and returns a
+  // feasible but suboptimal point.  d2 oracles verified with SLSQP.
+  const double pts[2][3] = {{-0.66891234, 1.95006689, 1.16531048},
+                            {-0.1722013, 1.18620918, 0.68929045}};
+  const double d2_opt[2] = {0.0200935505711086, 0.0429971935234799};
+  for (int k = 0; k < 2; ++k) {
+    double out[3];
+    pogs_native::project_exp_primal(pts[k], out);
+    double d2 = 0.0;
+    for (int j = 0; j < 3; ++j)
+      d2 += (out[j] - pts[k][j]) * (out[j] - pts[k][j]);
+    CHECK_NEAR(d2, d2_opt[k], 1e-10);
+  }
+  // Idempotence at a generic boundary projection.
+  const double v[3] = {1.0, 1.0, 1.0};
+  double p[3], p2[3];
+  pogs_native::project_exp_primal(v, p);
+  pogs_native::project_exp_primal(p, p2);
+  for (int j = 0; j < 3; ++j) CHECK_NEAR(p2[j], p[j], 1e-12);
+}
+
 static void test_cone_qp() {
   // min ½x'Px + c'x s.t. x free (Ky empty on a 1-row dummy constraint
   // that is always satisfied: b - 0·x >= 0). Optimum: x = -P^{-1}c.
@@ -323,6 +346,7 @@ int main() {
   test_cone_lp();
   test_jacobi_eigh();
   test_sdp_projection();
+  test_exp_projection_multiroot();
   test_cone_qp();
   if (failures == 0) {
     std::printf("native smoke tests: ALL PASSED\n");
