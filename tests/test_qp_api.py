@@ -147,6 +147,20 @@ def test_qp_unconstrained_unbounded_raises(rng):
         solve_qp(P, q)
 
 
+def test_qp_infeasible_status(rng):
+    """Infeasible QPs must certify INFEASIBLE, not return garbage."""
+    P = np.eye(2)
+    q = np.zeros(2)
+    A = np.array([[1.0, 0.0], [1.0, 0.0]])  # x0 = 0 AND x0 = 1
+    b = np.array([0.0, 1.0])
+    out = solve_qp(P, q, A=A, b=b, max_iter=5000, dtype=np.float64, **{
+        k: v for k, v in TOL.items() if k in ("abs_tol", "rel_tol")})
+    assert Status(out["status"]) == Status.INFEASIBLE
+    out2 = solve_qp(P, q, lb=np.ones(2), ub=np.zeros(2), max_iter=5000,
+                    dtype=np.float64)
+    assert Status(out2["status"]) == Status.INFEASIBLE
+
+
 def test_qp_mismatched_args_raise(rng):
     P = np.eye(2)
     q = np.zeros(2)
