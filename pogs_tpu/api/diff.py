@@ -278,6 +278,8 @@ def make_diff_solver(
     solve.defvjp(_fwd, _bwd)
 
     fn = highest_precision(solve)
+    if len(_DIFF_CACHE) > 32:  # bound long-process growth
+        _DIFF_CACHE.clear()
     _DIFF_CACHE[key] = fn
     return fn
 

@@ -43,11 +43,10 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 
-from pogs_tpu.types import Cone, ConeConstraint, SolverSettings
+from pogs_tpu.types import ConeConstraint, SolverSettings
 from pogs_tpu.cones.sets import ConeSet
 from pogs_tpu.utils.precision import highest_precision
 
@@ -204,6 +203,8 @@ def make_diff_cone_solver(
 
     solve.defvjp(_fwd, _bwd)
     fn = highest_precision(solve)
+    if len(_DIFF_CONE_CACHE) > 32:  # bound long-process growth
+        _DIFF_CONE_CACHE.clear()
     _DIFF_CONE_CACHE[key] = fn
     return fn
 

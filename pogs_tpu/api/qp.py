@@ -19,8 +19,6 @@ the convention  Px + q + G'z + A'y + z_ub - z_lb = 0,  z, z_lb, z_ub >= 0.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 from pogs_tpu.types import Cone, ConeConstraint
