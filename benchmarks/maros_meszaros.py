@@ -26,6 +26,10 @@ tests/test_real_data.py, so a transcription error cannot hide.
 
 from __future__ import annotations
 
+import json
+import os
+import sys
+
 import numpy as np
 
 INF = np.inf
@@ -455,3 +459,117 @@ def solve_with_slsqp(p):
     r = minimize(fun, x0, jac=jac, constraints=cons, bounds=bounds,
                  method="SLSQP", options={"maxiter": 500, "ftol": 1e-12})
     return float(r.fun)
+
+
+# ---------------------------------------------------------------------------
+# QPS-file entry point: run the REAL Maros–Mészáros set (or any QPS/MPS
+# files) through the same harness.  The reference's runner needs an
+# external cvxbench checkout plus cvxpy to load the set
+# (maros_benchmark.py:22-40); here the loader is built in
+# (pogs_tpu/utils/qps.py) and the certificate is solver-independent.
+# ---------------------------------------------------------------------------
+
+def load_qps_problem(path, optval=float("nan")):
+    """Load one QPS file into the harness problem schema.  ``optval`` is
+    the published optimum when known (the KKT certificate provides a
+    solver-independent check when it is not)."""
+    from pogs_tpu.utils.qps import load_qps
+
+    p = load_qps(path)
+    p["optval"] = float(optval)
+    return p
+
+
+def run_qps(paths, abs_tol=1e-6, rel_tol=1e-6, max_iter=40000,
+            optvals=None):
+    """Solve each QPS file and report objective, timing, and the KKT
+    certificate.  ``optvals`` maps problem NAME → published optimum for
+    relative-gap reporting.  Returns a list of row dicts."""
+    import time as _time
+
+    optvals = optvals or {}
+    rows = []
+    for path in paths:
+        p = load_qps_problem(path)
+        known = optvals.get(p["name"])
+        t0 = _time.perf_counter()
+        try:
+            res = solve_with_pogs_tpu(p, abs_tol=abs_tol, rel_tol=rel_tol,
+                                      max_iter=max_iter)
+            cold_ms = (_time.perf_counter() - t0) * 1e3
+            t1 = _time.perf_counter()
+            res = solve_with_pogs_tpu(p, abs_tol=abs_tol, rel_tol=rel_tol,
+                                      max_iter=max_iter)
+            warm_ms = (_time.perf_counter() - t1) * 1e3
+            cert = kkt_certificate(p, res["x"])
+            row = {
+                "problem": p["name"], "n": int(p["c"].shape[0]),
+                "m": int(p["A"].shape[0]),
+                "objective": float(res["objective"]),
+                "status": int(res["status"]),
+                "iterations": int(res["iterations"]),
+                "cold_ms": cold_ms, "warm_ms": warm_ms,
+                "kkt": cert,
+            }
+            if known is not None:
+                row["published_optval"] = known
+                row["obj_rel_gap"] = abs(row["objective"] - known) / max(
+                    abs(known), 1.0)
+        except Exception as e:  # noqa: BLE001 - per-row degradation
+            row = {"problem": p["name"], "error": f"{type(e).__name__}: {e}"}
+        rows.append(row)
+        print(json.dumps(row))
+    return rows
+
+
+def _main(argv):
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Maros–Mészáros harness: vendored mid-size recipes "
+                    "by default, or real QPS files via --qps")
+    ap.add_argument("--qps", nargs="+", metavar="PATH",
+                    help="QPS/MPS files or directories to solve")
+    ap.add_argument("--abs-tol", type=float, default=1e-6)
+    ap.add_argument("--rel-tol", type=float, default=1e-6)
+    ap.add_argument("--max-iter", type=int, default=40000)
+    ap.add_argument("--cpu", action="store_true",
+                    help="pin the JAX CPU backend (the axon TPU plugin "
+                         "overrides the JAX_PLATFORMS env var, so the "
+                         "env alone does not stick)")
+    args = ap.parse_args(argv)
+    if args.cpu or os.environ.get("JAX_PLATFORMS") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    if args.qps:
+        paths = []
+        for item in args.qps:
+            if os.path.isdir(item):
+                paths.extend(sorted(
+                    os.path.join(item, f) for f in os.listdir(item)
+                    if f.upper().endswith((".QPS", ".MPS", ".SIF"))))
+            else:
+                paths.append(item)
+        run_qps(paths, abs_tol=args.abs_tol, rel_tol=args.rel_tol,
+                max_iter=args.max_iter)
+    else:
+        for p in midsize_problems():
+            res = solve_with_pogs_tpu(p, abs_tol=args.abs_tol,
+                                      rel_tol=args.rel_tol,
+                                      max_iter=args.max_iter)
+            print(json.dumps({
+                "problem": p["name"], "objective": float(res["objective"]),
+                "published_optval": p["optval"],
+                "status": int(res["status"]),
+                "iterations": int(res["iterations"]),
+                "kkt": kkt_certificate(p, res["x"]),
+            }))
+
+
+if __name__ == "__main__":
+    # `python benchmarks/maros_meszaros.py` puts benchmarks/ (not the
+    # repo root) on sys.path; make pogs_tpu importable either way.
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    _main(sys.argv[1:])
