@@ -42,6 +42,14 @@ _PRECISION = jax.lax.Precision.HIGHEST
 _CONE_INIT_CACHE: dict = {}
 _CONE_SOLVE_CACHE: dict = {}
 
+# Staged QP solve (see _solve_qp_as_socp): HSDE segment length between
+# PDAS-polish attempts, and the largest n for which the host-side
+# Newton/LU polish is cheap enough to attempt mid-solve.  One fixed
+# segment size means ONE extra compiled loop variant regardless of how
+# many segments run.
+K_QP_SEGMENT_ITERS = 500
+K_QP_STAGED_N_MAX = 2000
+
 
 def _cone_key(cones: Sequence[ConeConstraint]):
     return tuple((int(c.cone), c.indices) for c in cones)
@@ -336,22 +344,67 @@ class ConeSolver:
         # epigraph variable/cone structure is identical across re-solves
         # with perturbed (b, c, P-diagonal), which is the receding-horizon
         # QP pattern (MPC) the cone warm start exists for.
-        res = sub.solve(b_ext.astype(npdt), c_ext.astype(npdt),
-                        settings=settings, _no_sync=_no_sync,
-                        warm_start=warm_start)
-        if _no_sync:
-            return res
-        x = res.x[:n]
-        y = res.y[:m]
-        nu = res.nu[:m]
-        x, y, nu, status, final_nrm_r, final_nrm_s = self._polish_qp(
-            P, b, c, x, y, nu, res.status, res.nrm_r, res.nrm_s, settings)
+        #
+        # Staged solve with inter-segment polish: the DR tail on the
+        # epigraph SOC is linear and can take O(10^4) iterations even on
+        # tiny QPs, while the PDAS polish certifies the optimum from a
+        # few-hundred-iteration seed (CVXQP family, qp_polish.py).  For
+        # polyhedral K_y we therefore run the HSDE in fixed-size segments
+        # (one compiled variant, warm-start continuation) and attempt the
+        # host-side polish after each: the solve exits as soon as the
+        # active set is identified instead of burning max_iter DR
+        # iterations.  A failed attempt costs one small-LU Newton pass.
+        from pogs_tpu.solver.qp_polish import row_kinds
+
+        b_run = b_ext.astype(npdt)
+        c_run = c_ext.astype(npdt)
+        staged = (
+            settings.polish and not _no_sync
+            and settings.max_iter > K_QP_SEGMENT_ITERS
+            and n <= K_QP_STAGED_N_MAX
+            and row_kinds(m, self.Ky.constraints) is not None
+        )
+        if not staged:
+            res = sub.solve(b_run, c_run, settings=settings,
+                            _no_sync=_no_sync, warm_start=warm_start)
+            if _no_sync:
+                return res
+            total_iter = res.final_iter
+            polished = None
+        else:
+            import dataclasses as _dc
+
+            seg_settings = _dc.replace(settings,
+                                       max_iter=K_QP_SEGMENT_ITERS)
+            total_iter = 0
+            ws = warm_start
+            polished = None
+            while True:
+                res = sub.solve(b_run, c_run, settings=seg_settings,
+                                warm_start=ws)
+                ws = True
+                total_iter += int(res.final_iter)
+                if res.status != Status.MAX_ITER \
+                        or total_iter >= settings.max_iter:
+                    break
+                x_t, y_t, nu_t, st_t, nr_t, ns_t = self._polish_qp(
+                    P, b, c, res.x[:n], res.y[:m], res.nu[:m],
+                    res.status, res.nrm_r, res.nrm_s, settings)
+                if st_t == Status.SUCCESS:
+                    polished = (x_t, y_t, nu_t, st_t, nr_t, ns_t)
+                    break
+        if polished is not None:
+            x, y, nu, status, final_nrm_r, final_nrm_s = polished
+        else:
+            x, y, nu, status, final_nrm_r, final_nrm_s = self._polish_qp(
+                P, b, c, res.x[:n], res.y[:m], res.nu[:m],
+                res.status, res.nrm_r, res.nrm_s, settings)
         optval = jnp.vdot(jnp.asarray(c, self.dtype), x) + 0.5 * jnp.vdot(
             x, jnp.asarray(P, self.dtype) @ x
         )
         return SolverResult(
             x=x, y=y, mu=res.mu[:n], nu=nu,
-            optval=optval, final_iter=res.final_iter, status=status,
+            optval=optval, final_iter=total_iter, status=status,
             nrm_r=final_nrm_r, nrm_s=final_nrm_s, gap=res.gap,
             solve_time=res.solve_time,
         )

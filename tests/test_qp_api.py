@@ -168,3 +168,43 @@ def test_qp_mismatched_args_raise(rng):
         solve_qp(P, q, G=np.eye(2))
     with pytest.raises(ValueError, match="A and b"):
         solve_qp(P, q, b=np.zeros(1))
+
+
+def test_qp_staged_early_exit():
+    """The staged SOCP route (cone.py::_solve_qp_as_socp) must exit at
+    the first segment whose PDAS polish certifies the optimum, instead
+    of running the DR loop to max_iter.  HS21-shaped tiny QP: the DR
+    tail stalls (pre-staging this burned all 40000 iterations before the
+    polish rescued it), but the active set is identified within one
+    500-iteration segment."""
+    from pogs_tpu.solver.cone import K_QP_SEGMENT_ITERS
+
+    P = np.diag([0.02, 2.0])
+    q = np.zeros(2)
+    G = np.array([[-10.0, 1.0]])
+    h = np.array([-10.0])
+    lb = np.array([2.0, -50.0])
+    ub = np.array([50.0, 50.0])
+    out = solve_qp(P, q, G=G, h=h, lb=lb, ub=ub, abs_tol=1e-6,
+                   rel_tol=1e-6, max_iter=40000, dtype=np.float64)
+    assert Status(out["status"]) == Status.SUCCESS
+    assert out["num_iters"] <= 2 * K_QP_SEGMENT_ITERS
+    assert abs(out["optval"] - 0.04) < 1e-6          # before the -100 shift
+    np.testing.assert_allclose(out["x"], [2.0, 0.0], atol=1e-6)
+
+
+def test_qp_staged_warm_resolve_consistent():
+    """Warm re-solve through the staged route: perturbing h on the same
+    solver handle must converge to the perturbed optimum."""
+    rng = np.random.default_rng(7)
+    P, q, G, h, A, b = _rand_qp(rng)
+    out = solve_qp(P, q, G, h, A, b, max_iter=4000, abs_tol=1e-7,
+                   rel_tol=1e-7, dtype=np.float64)
+    assert Status(out["status"]) == Status.SUCCESS
+    h2 = h + 1e-3
+    out2 = solve_qp(P, q, G, h2, A, b, max_iter=4000, abs_tol=1e-7,
+                    rel_tol=1e-7, dtype=np.float64,
+                    solver=out["solver"], warm_start=True)
+    ref = _slsqp(P, q, G, h2, A, b)
+    assert Status(out2["status"]) == Status.SUCCESS
+    assert abs(out2["optval"] - ref.fun) < 1e-5 * max(1.0, abs(ref.fun))
