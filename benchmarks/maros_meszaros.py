@@ -484,33 +484,51 @@ def run_qps(paths, abs_tol=1e-6, rel_tol=1e-6, max_iter=40000,
             optvals=None):
     """Solve each QPS file and report objective, timing, and the KKT
     certificate.  ``optvals`` maps problem NAME → published optimum for
-    relative-gap reporting.  Returns a list of row dicts."""
+    relative-gap reporting.  Returns a list of row dicts.
+
+    Routing goes through the packaged :func:`pogs_tpu.solve_qp` /
+    :func:`pogs_tpu.solve_lp` entries (LP = all-zero Hessian) so real
+    files get the presolve (FX-bound fixed variables substituted out)
+    and the staged early-exit polish."""
     import time as _time
+
+    from pogs_tpu import solve_lp, solve_qp
+    from pogs_tpu.utils.qps import qps_to_solve_qp_kwargs
 
     optvals = optvals or {}
     rows = []
     for path in paths:
         p = load_qps_problem(path)
         known = optvals.get(p["name"])
+
+        def _solve(p=p):
+            kw = qps_to_solve_qp_kwargs(p)
+            P = kw.pop("P")
+            common = dict(abs_tol=abs_tol, rel_tol=rel_tol,
+                          max_iter=max_iter, dtype=np.float64)
+            if not np.any(P):
+                return solve_lp(kw.pop("q"), **kw, **common)
+            return solve_qp(P, kw.pop("q"), **kw, **common)
+
         t0 = _time.perf_counter()
         try:
-            res = solve_with_pogs_tpu(p, abs_tol=abs_tol, rel_tol=rel_tol,
-                                      max_iter=max_iter)
+            res = _solve()
             cold_ms = (_time.perf_counter() - t0) * 1e3
             t1 = _time.perf_counter()
-            res = solve_with_pogs_tpu(p, abs_tol=abs_tol, rel_tol=rel_tol,
-                                      max_iter=max_iter)
+            res = _solve()
             warm_ms = (_time.perf_counter() - t1) * 1e3
-            cert = kkt_certificate(p, res["x"])
             row = {
                 "problem": p["name"], "n": int(p["c"].shape[0]),
                 "m": int(p["A"].shape[0]),
-                "objective": float(res["objective"]),
+                "objective": float(res["optval"]) + p["c0"],
                 "status": int(res["status"]),
-                "iterations": int(res["iterations"]),
+                "iterations": int(res["num_iters"]),
                 "cold_ms": cold_ms, "warm_ms": warm_ms,
-                "kkt": cert,
             }
+            if "presolve" in res:
+                row["presolve"] = res["presolve"]
+            if np.all(np.isfinite(np.asarray(res["x"], np.float64))):
+                row["kkt"] = kkt_certificate(p, res["x"])
             if known is not None:
                 row["published_optval"] = known
                 row["obj_rel_gap"] = abs(row["objective"] - known) / max(

@@ -57,7 +57,7 @@ from pogs_tpu.api.graph import (
     solve_svm,
     solve_nonneg_ls,
 )
-from pogs_tpu.api.qp import solve_qp
+from pogs_tpu.api.qp import solve_lp, solve_qp
 from pogs_tpu.api.diff import (
     make_diff_solver,
     diff_lasso,
@@ -105,6 +105,7 @@ __all__ = [
     "solve_huber",
     "solve_svm",
     "solve_nonneg_ls",
+    "solve_lp",
     "solve_qp",
     "make_diff_solver",
     "diff_lasso",

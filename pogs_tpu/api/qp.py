@@ -21,10 +21,10 @@ from __future__ import annotations
 
 import numpy as np
 
-from pogs_tpu.types import Cone, ConeConstraint
+from pogs_tpu.types import Cone, ConeConstraint, Status
 from pogs_tpu.api.cone import solve_cone
 
-__all__ = ["solve_qp"]
+__all__ = ["solve_qp", "solve_lp"]
 
 
 def _is_sparse(M) -> bool:
@@ -33,6 +33,114 @@ def _is_sparse(M) -> bool:
 
 def _nrows(M) -> int:
     return 0 if M is None else int(M.shape[0])
+
+
+# ---------------------------------------------------------------------------
+# Presolve: cheap exact reductions applied before the cone lowering.
+# The reference has no presolve at all; real QPS files (Maros–Mészáros)
+# are full of FX-bound fixed variables and substitution-emptied rows, so
+# solving them raw creates degenerate opposing-inequality pairs.  All
+# reductions here are EXACT (no tolerance-based dropping of near-zeros):
+#   1. lb > ub anywhere            -> INFEASIBLE immediately.
+#   2. fixed variables (lb == ub)  -> substituted out of P, q, G, A.
+#   3. structurally zero rows left by the substitution -> dropped after
+#      a feasibility check (0'x <= h_i with h_i < 0 -> INFEASIBLE).
+# The reduction STRUCTURE (fixed set, kept rows) depends only on the
+# finite-bound pattern and the matrices, which the warm re-solve
+# contract already freezes; fixed VALUES are solve-time data and may
+# change between warm calls.  The structure is stored on the returned
+# solver handle and re-applied (and checked) on warm re-solves.
+# ---------------------------------------------------------------------------
+
+
+def _presolve_structure(G, A, lb, ub, n):
+    """Compute the reduction structure.  Returns None when nothing
+    reduces, else dict(fixed, free, keep_g, keep_a)."""
+    lb_a = np.full(n, -np.inf) if lb is None else np.asarray(lb, np.float64)
+    ub_a = np.full(n, np.inf) if ub is None else np.asarray(ub, np.float64)
+    bad = lb_a > ub_a
+    if np.any(bad):
+        return {"infeasible_bounds": np.flatnonzero(bad)}
+    fixed = np.flatnonzero(np.isfinite(lb_a) & (lb_a == ub_a))
+    if fixed.size == 0:
+        return None
+    free = np.setdiff1d(np.arange(n), fixed, assume_unique=False)
+
+    def keep_rows(M):
+        if M is None:
+            return None
+        Mf = M[:, free] if not _is_sparse(M) else M.tocsc()[:, free].tocsr()
+        if _is_sparse(Mf):
+            nz = np.asarray(abs(Mf).sum(axis=1)).ravel()
+        else:
+            nz = np.abs(np.asarray(Mf, np.float64)).sum(axis=1)
+        return nz > 0.0
+
+    return {"fixed": fixed, "free": free,
+            "keep_g": keep_rows(G), "keep_a": keep_rows(A)}
+
+
+def _reduce_qp(P, q, G, h, A, b, lb, ub, st):
+    """Apply a `_presolve_structure` reduction.  Returns the reduced
+    pieces plus the objective constant and the fixed values, or a
+    string reason when the substitution itself proves infeasibility."""
+    fixed, free = st["fixed"], st["free"]
+    v = np.asarray(ub, np.float64)[fixed]  # == lb[fixed]
+    if P is None:  # LP: no quadratic coupling to substitute
+        Pd = None
+        P_r = None
+        q_r = np.asarray(q, np.float64)[free]
+        const = float(np.asarray(q, np.float64)[fixed] @ v)
+    else:
+        Pd = np.asarray(P.todense() if _is_sparse(P) else P, np.float64)
+        Pd = (Pd + Pd.T) / 2
+        P_r = Pd[np.ix_(free, free)]
+        q_r = np.asarray(q, np.float64)[free] + Pd[np.ix_(free, fixed)] @ v
+        const = float(0.5 * v @ Pd[np.ix_(fixed, fixed)] @ v
+                      + np.asarray(q, np.float64)[fixed] @ v)
+
+    def split(M, rhs, keep, is_ineq):
+        if M is None:
+            return None, None, None
+        Mc = M.tocsc() if _is_sparse(M) else np.asarray(M, np.float64)
+        shift = (Mc[:, fixed] @ v if _is_sparse(M)
+                 else Mc[:, fixed] @ v)
+        rhs_r = np.asarray(rhs, np.float64).ravel() - np.asarray(shift).ravel()
+        # Feasibility of the rows the reduction empties: 0'x {<=,=} rhs_r.
+        empty = ~keep
+        if np.any(empty):
+            viol = (rhs_r[empty] < 0.0) if is_ineq \
+                else (rhs_r[empty] != 0.0)
+            if np.any(viol):
+                return "row", None, None
+        M_r = (Mc[:, free].tocsr()[keep] if _is_sparse(M)
+               else Mc[np.ix_(keep, free)])
+        return None, M_r, rhs_r[keep]
+
+    bad, G_r, h_r = split(G, h, st["keep_g"], True)
+    if bad:
+        return "a zeroed inequality row has negative right-hand side"
+    bad, A_r, b_r = split(A, b, st["keep_a"], False)
+    if bad:
+        return "a zeroed equality row has nonzero right-hand side"
+    lb_r = None if lb is None else np.asarray(lb, np.float64)[free]
+    ub_r = None if ub is None else np.asarray(ub, np.float64)[free]
+    return {"P": P_r, "q": q_r, "G": G_r, "h": h_r, "A": A_r, "b": b_r,
+            "lb": lb_r, "ub": ub_r, "v": v, "const": const, "Pd": Pd}
+
+
+def _infeasible_result(n, reason):
+    nan = np.full(n, np.nan)
+    return {
+        "x": nan, "y": np.zeros(0), "l": np.zeros(0), "z": np.zeros(0),
+        "s": np.zeros(0), "optval": float("nan"), "iterations": 0,
+        "num_iters": 0, "status": int(Status.INFEASIBLE),
+        "status_name": "INFEASIBLE", "solve_time": 0.0,
+        "abs_tol": 0.0, "rel_tol": 0.0,
+        "y_eq": np.zeros(0), "z_ineq": np.zeros(0),
+        "z_lb": np.zeros(n), "z_ub": np.zeros(n),
+        "presolve": reason,
+    }
 
 
 def solve_qp(
@@ -46,6 +154,7 @@ def solve_qp(
     ub=None,
     solver=None,
     warm_start: bool = False,
+    presolve: bool = True,
     **kw,
 ):
     """Solve a convex QP; returns the result-dict contract of
@@ -57,7 +166,8 @@ def solve_qp(
     - everything else (status, iterations, residual diagnostics) as in
       ``solve_cone``.
 
-    ``P`` must be symmetric PSD.  ``G``/``A`` may be dense or scipy
+    ``P`` must be symmetric PSD; ``P=None`` solves the LP (use
+    :func:`solve_lp`).  ``G``/``A`` may be dense or scipy
     sparse (sparse inputs keep the solver's auto-densify policy).
     Tolerances/limits pass through as keyword arguments
     (``abs_tol``/``rel_tol``/``max_iter``/``dtype``/``qp_via``/...).
@@ -67,6 +177,16 @@ def solve_qp(
     solve-time arguments), but ``P``, ``G``, ``A`` and the pattern of
     finite bounds must stay fixed (they are baked into the factorized
     operator).
+
+    ``presolve=True`` (default) applies exact reductions before the
+    lowering: inconsistent bounds (``lb > ub``) certify INFEASIBLE
+    immediately; fixed variables (``lb == ub``, the QPS ``FX`` bound)
+    are substituted out of ``P``/``q``/``G``/``A``; rows the
+    substitution empties are feasibility-checked and dropped.  The
+    result is expanded back to full size (primal, objective constant,
+    duals — fixed-variable multipliers recovered from stationarity) and
+    carries a ``result["presolve"]`` summary.  Warm re-solves may change
+    the fixed *values* but not the fixed index set.
     """
     q = np.asarray(q, np.float64).ravel()
     n = q.shape[0]
@@ -74,6 +194,28 @@ def solve_qp(
         raise ValueError("G and h must be given together")
     if (A is None) != (b is None):
         raise ValueError("A and b must be given together")
+
+    if presolve:
+        if solver is not None:
+            st = getattr(solver, "_qp_presolve", None)
+            if st is not None:
+                st_now = _presolve_structure(G, A, lb, ub, n)
+                if (st_now is None or "infeasible_bounds" in st_now
+                        or not np.array_equal(st_now["fixed"], st["fixed"])):
+                    raise ValueError(
+                        "warm re-solve changed the fixed-variable pattern "
+                        "(the lb == ub index set); rebuild the solver")
+                return _presolved_solve(P, q, G, h, A, b, lb, ub, st,
+                                        solver, warm_start, kw)
+        else:
+            st = _presolve_structure(G, A, lb, ub, n)
+            if st is not None:
+                if "infeasible_bounds" in st:
+                    return _infeasible_result(
+                        n, "bounds are inconsistent (lb > ub) at indices "
+                           f"{st['infeasible_bounds'][:8].tolist()}")
+                return _presolved_solve(P, q, G, h, A, b, lb, ub, st,
+                                        None, warm_start, kw)
 
     n_eq = _nrows(A)
     n_in = _nrows(G)
@@ -154,6 +296,68 @@ def solve_qp(
     return out
 
 
+def _presolved_solve(P, q, G, h, A, b, lb, ub, st, solver, warm_start, kw):
+    """Solve the reduced QP and expand the result back to full size."""
+    n = q.shape[0]
+    red = _reduce_qp(P, q, G, h, A, b, lb, ub, st)
+    if isinstance(red, str):
+        return _infeasible_result(n, red)
+    fixed, free = st["fixed"], st["free"]
+    G_r, h_r = red["G"], red["h"]
+    A_r, b_r = red["A"], red["b"]
+    if G_r is not None and G_r.shape[0] == 0:
+        G_r = h_r = None
+    if A_r is not None and A_r.shape[0] == 0:
+        A_r = b_r = None
+    out = solve_qp(red["P"], red["q"], G_r, h_r, A_r, b_r,
+                   red["lb"], red["ub"], solver=solver,
+                   warm_start=warm_start, presolve=False, **kw)
+    if "solver" in out and out["solver"] is not None:
+        out["solver"]._qp_presolve = st
+
+    # Expand the primal, shift the objective by the substituted constant.
+    x_full = np.empty(n)
+    x_full[free] = np.asarray(out["x"], np.float64)
+    x_full[fixed] = red["v"]
+    out["x"] = x_full
+    out["optval"] = float(out["optval"]) + red["const"]
+
+    # Scatter duals back over the dropped rows (multiplier 0 there) and
+    # the full variable set.
+    if G is not None:
+        z_full = np.zeros(G.shape[0])
+        z_full[st["keep_g"]] = np.asarray(out["z_ineq"], np.float64)
+        out["z_ineq"] = z_full
+    if A is not None:
+        y_full = np.zeros(A.shape[0])
+        y_full[st["keep_a"]] = np.asarray(out["y_eq"], np.float64)
+        out["y_eq"] = y_full
+    z_lb = np.zeros(n)
+    z_ub = np.zeros(n)
+    z_lb[free] = np.asarray(out["z_lb"], np.float64)
+    z_ub[free] = np.asarray(out["z_ub"], np.float64)
+    # Fixed-variable multipliers from stationarity
+    # (Px + q + G'z + A'y + z_ub - z_lb = 0 restricted to the fixed set).
+    r = q if red["Pd"] is None else red["Pd"] @ x_full + q
+    if G is not None:
+        r = r + (G.T @ out["z_ineq"] if _is_sparse(G)
+                 else np.asarray(G, np.float64).T @ out["z_ineq"])
+    if A is not None:
+        r = r + (A.T @ out["y_eq"] if _is_sparse(A)
+                 else np.asarray(A, np.float64).T @ out["y_eq"])
+    z_ub[fixed] = np.maximum(-r[fixed], 0.0)
+    z_lb[fixed] = np.maximum(r[fixed], 0.0)
+    out["z_lb"], out["z_ub"] = z_lb, z_ub
+    out["presolve"] = {
+        "fixed_variables": int(fixed.size),
+        "dropped_ineq_rows": int(0 if st["keep_g"] is None
+                                 else np.sum(~st["keep_g"])),
+        "dropped_eq_rows": int(0 if st["keep_a"] is None
+                               else np.sum(~st["keep_a"])),
+    }
+    return out
+
+
 def _bound_rows(n: int, idx, sign: float, sparse: bool):
     """±e_j rows selecting the finitely-bounded coordinates."""
     if sparse:
@@ -167,8 +371,47 @@ def _bound_rows(n: int, idx, sign: float, sparse: bool):
     return E
 
 
+def solve_lp(
+    c,
+    G=None,
+    h=None,
+    A=None,
+    b=None,
+    lb=None,
+    ub=None,
+    solver=None,
+    warm_start: bool = False,
+    presolve: bool = True,
+    **kw,
+):
+    """Solve a linear program
+
+        minimize    c'x
+        subject to  G x <= h,   A x = b,   lb <= x <= ub
+
+    with the same result contract, presolve, warm re-solve pattern, and
+    dual splitting as :func:`solve_qp` (stationarity
+    ``c + G'z + A'y + z_ub - z_lb = 0``).  Routed as a pure cone-form LP
+    (no epigraph variable), which keeps the HSDE's interior-point tail
+    polish available — the path the LP benchmarks certify."""
+    return solve_qp(None, c, G=G, h=h, A=A, b=b, lb=lb, ub=ub,
+                    solver=solver, warm_start=warm_start,
+                    presolve=presolve, **kw)
+
+
 def _solve_unconstrained(P, q):
     """No constraints: Px = -q by Cholesky (PSD-singular → least norm)."""
+    if P is None:  # LP with no constraints at all
+        if np.any(q != 0.0):
+            raise ValueError(
+                "unconstrained LP with nonzero objective is unbounded below")
+        n = q.shape[0]
+        out = _infeasible_result(n, "")
+        del out["presolve"]
+        out.update(x=np.zeros(n), optval=0.0,
+                   status=int(Status.SUCCESS), status_name="SUCCESS",
+                   z_lb=np.zeros(n), z_ub=np.zeros(n))
+        return out
     Pd = np.asarray(
         P.todense() if _is_sparse(P) else P, np.float64)
     Pd = (Pd + Pd.T) / 2

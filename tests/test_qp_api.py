@@ -208,3 +208,186 @@ def test_qp_staged_warm_resolve_consistent():
     ref = _slsqp(P, q, G, h2, A, b)
     assert Status(out2["status"]) == Status.SUCCESS
     assert abs(out2["optval"] - ref.fun) < 1e-5 * max(1.0, abs(ref.fun))
+
+
+# ---- presolve ------------------------------------------------------------
+
+def test_presolve_fixed_vars_and_emptied_row(rng):
+    """Fixed variables (lb == ub) are substituted out; a row supported
+    only on fixed variables is feasibility-checked and dropped; the
+    expanded duals satisfy the full-problem stationarity convention."""
+    n = 8
+    M = rng.standard_normal((n, n))
+    P = M @ M.T + 0.5 * np.eye(n)
+    q = rng.standard_normal(n)
+    lb = np.full(n, -2.0)
+    ub = np.full(n, 2.0)
+    lb[2] = ub[2] = 0.7
+    lb[5] = ub[5] = -1.3
+    G = rng.standard_normal((4, n))
+    h = G @ (0.1 * np.ones(n)) + 0.5
+    G = np.vstack([G, np.zeros(n)])
+    G[-1, 2], G[-1, 5] = 1.0, 2.0
+    h = np.concatenate([h, [0.7 - 2.6 + 1.0]])  # holds after substitution
+
+    out = solve_qp(P, q, G, h, lb=lb, ub=ub, abs_tol=1e-8, rel_tol=1e-8,
+                   dtype=np.float64)
+    assert Status(out["status"]) == Status.SUCCESS
+    assert out["presolve"] == {"fixed_variables": 2, "dropped_ineq_rows": 1,
+                               "dropped_eq_rows": 0}
+    assert out["x"][2] == 0.7 and out["x"][5] == -1.3
+    ref = _slsqp(P, q, G, h, lb=lb, ub=ub)
+    assert abs(out["optval"] - ref.fun) < 1e-6
+    r = P @ out["x"] + q + G.T @ out["z_ineq"] + out["z_ub"] - out["z_lb"]
+    assert np.abs(r).max() < 1e-5
+
+    # Violating the emptied row is certified INFEASIBLE without a solve.
+    h_bad = h.copy()
+    h_bad[-1] = 0.7 - 2.6 - 1.0
+    out2 = solve_qp(P, q, G, h_bad, lb=lb, ub=ub, dtype=np.float64)
+    assert Status(out2["status"]) == Status.INFEASIBLE
+
+
+def test_presolve_inconsistent_bounds():
+    P = np.eye(2)
+    q = np.zeros(2)
+    out = solve_qp(P, q, lb=np.array([3.0, 0.0]), ub=np.array([2.0, 1.0]))
+    assert Status(out["status"]) == Status.INFEASIBLE
+    assert "lb > ub" in out["presolve"]
+
+
+def test_presolve_all_vars_fixed():
+    """Every variable fixed: the answer is closed-form; constraints are
+    feasibility-checked against the fixed point."""
+    P = np.diag([1.0, 2.0])
+    q = np.array([0.5, -1.0])
+    lb = ub = np.array([1.0, -2.0])
+    G = np.array([[1.0, 1.0]])
+    out = solve_qp(P, q, G, np.array([0.0]), lb=lb, ub=ub)
+    assert Status(out["status"]) == Status.SUCCESS
+    np.testing.assert_allclose(out["x"], [1.0, -2.0])
+    assert abs(out["optval"] - (0.5 * (1 + 8) + 0.5 + 2.0)) < 1e-10
+    out2 = solve_qp(P, q, G, np.array([-2.0]), lb=lb, ub=ub)
+    assert Status(out2["status"]) == Status.INFEASIBLE
+
+
+def test_presolve_warm_resolve_new_fixed_values(rng):
+    """Warm re-solve may change the fixed VALUES (solve-time data) but
+    not the fixed index set (structure baked into the handle)."""
+    n = 8
+    M = rng.standard_normal((n, n))
+    P = M @ M.T + 0.5 * np.eye(n)
+    q = rng.standard_normal(n)
+    lb = np.full(n, -2.0)
+    ub = np.full(n, 2.0)
+    lb[2] = ub[2] = 0.7
+    G = rng.standard_normal((4, n))
+    h = G @ (0.1 * np.ones(n)) + 0.5
+    out = solve_qp(P, q, G, h, lb=lb, ub=ub, abs_tol=1e-8, rel_tol=1e-8,
+                   dtype=np.float64)
+    lb2 = lb.copy()
+    ub2 = ub.copy()
+    lb2[2] = ub2[2] = 0.9
+    out2 = solve_qp(P, q, G, h, lb=lb2, ub=ub2, abs_tol=1e-8, rel_tol=1e-8,
+                    dtype=np.float64, solver=out["solver"], warm_start=True)
+    ref = _slsqp(P, q, G, h, lb=lb2, ub=ub2)
+    assert abs(out2["optval"] - ref.fun) < 1e-6
+    lb3 = lb.copy()
+    lb3[2] = -2.0  # un-fixes x2: structural change
+    with pytest.raises(ValueError, match="fixed-variable pattern"):
+        solve_qp(P, q, G, h, lb=lb3, ub=ub, solver=out["solver"],
+                 warm_start=True)
+
+
+def test_presolve_sparse_G(rng):
+    n = 10
+    M = rng.standard_normal((n, n))
+    P = M @ M.T + np.eye(n)
+    q = rng.standard_normal(n)
+    lb = np.full(n, -1.0)
+    ub = np.full(n, 1.0)
+    lb[4] = ub[4] = 0.25
+    Gs = sp.random(6, n, density=0.4, random_state=5, format="csr")
+    h = np.full(6, 0.3)
+    out = solve_qp(P, q, Gs, h, lb=lb, ub=ub, abs_tol=1e-8, rel_tol=1e-8,
+                   dtype=np.float64)
+    assert Status(out["status"]) == Status.SUCCESS
+    ref = _slsqp(P, q, Gs.toarray(), h, lb=lb, ub=ub)
+    assert abs(out["optval"] - ref.fun) < 1e-6
+
+
+def test_presolve_off_matches_on(rng):
+    """presolve=False must agree with presolve=True on a reducible QP."""
+    n = 6
+    M = rng.standard_normal((n, n))
+    P = M @ M.T + np.eye(n)
+    q = rng.standard_normal(n)
+    lb = np.full(n, -1.0)
+    ub = np.full(n, 1.0)
+    lb[0] = ub[0] = 0.5
+    on = solve_qp(P, q, lb=lb, ub=ub, abs_tol=1e-8, rel_tol=1e-8,
+                  dtype=np.float64)
+    off = solve_qp(P, q, lb=lb, ub=ub, abs_tol=1e-8, rel_tol=1e-8,
+                   dtype=np.float64, presolve=False)
+    assert abs(on["optval"] - off["optval"]) < 1e-6
+    np.testing.assert_allclose(on["x"], off["x"], atol=1e-5)
+
+
+# ---- solve_lp ------------------------------------------------------------
+
+def test_solve_lp_vs_linprog(rng):
+    from scipy.optimize import linprog
+
+    from pogs_tpu import solve_lp
+
+    n = 12
+    c = rng.standard_normal(n)
+    G = rng.standard_normal((20, n))
+    h = G @ (0.1 * np.ones(n)) + 1.0
+    A = rng.standard_normal((3, n))
+    b = A @ (0.1 * np.ones(n))
+    lb = np.full(n, -2.0)
+    ub = np.full(n, 2.0)
+    ref = linprog(c, A_ub=G, b_ub=h, A_eq=A, b_eq=b,
+                  bounds=list(zip(lb, ub)), method="highs")
+    assert ref.status == 0
+    out = solve_lp(c, G, h, A, b, lb=lb, ub=ub, abs_tol=1e-7, rel_tol=1e-7,
+                   max_iter=20000, dtype=np.float64)
+    assert Status(out["status"]) == Status.SUCCESS
+    assert abs(out["optval"] - ref.fun) < 1e-5 * max(1.0, abs(ref.fun))
+    # stationarity with the split duals
+    r = (c + G.T @ out["z_ineq"] + A.T @ out["y_eq"]
+         + out["z_ub"] - out["z_lb"])
+    assert np.abs(r).max() < 1e-4
+
+
+def test_solve_lp_presolve_fixed_vars(rng):
+    from scipy.optimize import linprog
+
+    from pogs_tpu import solve_lp
+
+    n = 8
+    c = rng.standard_normal(n)
+    G = rng.standard_normal((10, n))
+    h = G @ (0.05 * np.ones(n)) + 0.8
+    lb = np.full(n, -1.0)
+    ub = np.full(n, 1.0)
+    lb[3] = ub[3] = 0.4  # QPS FX-style fixed variable
+    ref = linprog(c, A_ub=G, b_ub=h, bounds=list(zip(lb, ub)),
+                  method="highs")
+    assert ref.status == 0
+    out = solve_lp(c, G, h, lb=lb, ub=ub, abs_tol=1e-7, rel_tol=1e-7,
+                   max_iter=20000, dtype=np.float64)
+    assert Status(out["status"]) == Status.SUCCESS
+    assert out["presolve"]["fixed_variables"] == 1
+    assert out["x"][3] == 0.4
+    assert abs(out["optval"] - ref.fun) < 1e-5 * max(1.0, abs(ref.fun))
+
+
+def test_solve_lp_unconstrained():
+    from pogs_tpu import solve_lp
+
+    out = solve_lp(np.zeros(3))
+    assert Status(out["status"]) == Status.SUCCESS and out["optval"] == 0.0
+    with pytest.raises(ValueError, match="unbounded"):
+        solve_lp(np.array([1.0, 0.0]))

@@ -230,3 +230,56 @@ def test_qps_to_solve_qp_kwargs_sparse():
     np.testing.assert_allclose(kw["h"], [-10.0])
     assert "A" not in kw
     assert not sp.issparse(kw["P"])  # P is densified for solve_qp
+
+
+def test_plain_mps_lp_solves():
+    """A plain MPS file (no QUADOBJ) is an LP; the kwargs lower into
+    solve_lp and match scipy linprog."""
+    from scipy.optimize import linprog
+
+    from pogs_tpu import solve_lp
+
+    text = """\
+NAME          LP1
+ROWS
+ N  COST
+ L  LIM1
+ G  LIM2
+ E  EQ1
+COLUMNS
+    X1  COST 1.0 LIM1 1.0
+    X1  LIM2 1.0
+    X2  COST 2.0 LIM1 1.0
+    X2  EQ1 1.0
+    X3  COST -1.0 LIM2 1.0
+    X3  EQ1 1.0
+RHS
+    RHS  LIM1 4.0 LIM2 1.0
+    RHS  EQ1 7.0
+BOUNDS
+ UP BND  X1 4.0
+ LO BND  X2 -1.0
+ENDATA
+"""
+    p = loads_qps(text)
+    assert not p["Q"].any()
+    kw = qps_to_solve_qp_kwargs(p)
+    kw.pop("P")
+    q = kw.pop("q")
+    out = solve_lp(q, **kw, abs_tol=1e-7, rel_tol=1e-7, max_iter=20000,
+                   dtype=np.float64)
+    # independent oracle on the same interval form
+    A_ub, b_ub, A_eq, b_eq = [], [], [], []
+    for row, s, r in zip(p["A"], p["sense"], p["rhs"]):
+        if s == "<=":
+            A_ub.append(row), b_ub.append(r)
+        elif s == ">=":
+            A_ub.append(-row), b_ub.append(-r)
+        else:
+            A_eq.append(row), b_eq.append(r)
+    ref = linprog(p["c"], A_ub=np.array(A_ub), b_ub=np.array(b_ub),
+                  A_eq=np.array(A_eq), b_eq=np.array(b_eq),
+                  bounds=list(zip(p["lb"], p["ub"])), method="highs")
+    assert ref.status == 0
+    assert abs(out["optval"] + p["c0"] - ref.fun) < 1e-6 * max(1.0,
+                                                               abs(ref.fun))
