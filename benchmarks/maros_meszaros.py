@@ -506,7 +506,8 @@ def run_qps(paths, abs_tol=1e-6, rel_tol=1e-6, max_iter=40000,
             P = kw.pop("P")
             common = dict(abs_tol=abs_tol, rel_tol=rel_tol,
                           max_iter=max_iter, dtype=np.float64)
-            if not np.any(P):
+            is_lp = (P.nnz == 0) if hasattr(P, "nnz") else not np.any(P)
+            if is_lp:
                 return solve_lp(kw.pop("q"), **kw, **common)
             return solve_qp(P, kw.pop("q"), **kw, **common)
 

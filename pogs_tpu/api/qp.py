@@ -91,6 +91,13 @@ def _reduce_qp(P, q, G, h, A, b, lb, ub, st):
         P_r = None
         q_r = np.asarray(q, np.float64)[free]
         const = float(np.asarray(q, np.float64)[fixed] @ v)
+    elif np.ndim(P) == 1:  # diagonal Hessian: no coupling either
+        p = np.asarray(P, np.float64)
+        Pd = ("diag", p)
+        P_r = p[free]
+        q_r = np.asarray(q, np.float64)[free]
+        const = float(0.5 * p[fixed] @ (v * v)
+                      + np.asarray(q, np.float64)[fixed] @ v)
     else:
         Pd = np.asarray(P.todense() if _is_sparse(P) else P, np.float64)
         Pd = (Pd + Pd.T) / 2
@@ -167,7 +174,11 @@ def solve_qp(
       ``solve_cone``.
 
     ``P`` must be symmetric PSD; ``P=None`` solves the LP (use
-    :func:`solve_lp`).  ``G``/``A`` may be dense or scipy
+    :func:`solve_lp`).  A **1-D** ``P`` (or a scipy-sparse matrix that
+    is diagonal) is a separable quadratic ``(1/2) sum_j P_j x_j^2`` and
+    takes a factorization-free path — no O(n^3) eigendecomposition, one
+    sparse epigraph row per positive entry — so it scales to n ~ 10^5.
+    ``G``/``A`` may be dense or scipy
     sparse (sparse inputs keep the solver's auto-densify policy).
     Tolerances/limits pass through as keyword arguments
     (``abs_tol``/``rel_tol``/``max_iter``/``dtype``/``qp_via``/...).
@@ -194,6 +205,18 @@ def solve_qp(
         raise ValueError("G and h must be given together")
     if (A is None) != (b is None):
         raise ValueError("A and b must be given together")
+    if _is_sparse(P):
+        # A sparse Hessian that is actually diagonal (common in real QPS
+        # files: separable quadratics) takes the factorization-free
+        # diagonal path; anything else densifies (the epigraph factor
+        # needs an eigendecomposition).
+        import scipy.sparse as sp
+
+        d = P.diagonal()
+        P = (d if (P - sp.diags(d)).nnz == 0
+             else np.asarray(P.todense(), np.float64))
+    elif P is not None:
+        P = np.asarray(P, np.float64)
 
     if presolve:
         if solver is not None:
@@ -219,6 +242,10 @@ def solve_qp(
 
     n_eq = _nrows(A)
     n_in = _nrows(G)
+    if n_eq == 0 and n_in == 0 and (P is None or np.ndim(P) == 1):
+        # Separable problem (diagonal or no Hessian, bounds only): the
+        # answer is the per-coordinate closed form — no iteration at all.
+        return _solve_separable(P, q, lb, ub)
     ub_idx = np.flatnonzero(np.isfinite(np.asarray(ub, np.float64))) \
         if ub is not None else np.empty(0, np.intp)
     lb_idx = np.flatnonzero(np.isfinite(np.asarray(lb, np.float64))) \
@@ -226,7 +253,11 @@ def solve_qp(
 
     # Row order: equalities, G rows, finite upper bounds, finite lower
     # bounds (negated) — the same lowering the Maros suite certifies.
-    sparse = _is_sparse(G) or _is_sparse(A)
+    # Large bounds-only problems (e.g. a big separable QP) get sparse
+    # bound rows: densifying them would cost O(n^2) memory for what is
+    # one nonzero per row.
+    sparse = (_is_sparse(G) or _is_sparse(A)
+              or (n > 512 and n_eq + n_in == 0))
     blocks, rhs = [], []
     if n_eq:
         blocks.append(A)
@@ -338,7 +369,13 @@ def _presolved_solve(P, q, G, h, A, b, lb, ub, st, solver, warm_start, kw):
     z_ub[free] = np.asarray(out["z_ub"], np.float64)
     # Fixed-variable multipliers from stationarity
     # (Px + q + G'z + A'y + z_ub - z_lb = 0 restricted to the fixed set).
-    r = q if red["Pd"] is None else red["Pd"] @ x_full + q
+    Pd = red["Pd"]
+    if Pd is None:
+        r = q
+    elif isinstance(Pd, tuple):  # ("diag", p)
+        r = Pd[1] * x_full + q
+    else:
+        r = Pd @ x_full + q
     if G is not None:
         r = r + (G.T @ out["z_ineq"] if _is_sparse(G)
                  else np.asarray(G, np.float64).T @ out["z_ineq"])
@@ -399,6 +436,46 @@ def solve_lp(
                     presolve=presolve, **kw)
 
 
+def _solve_separable(P, q, lb, ub):
+    """Per-coordinate closed form for  min Σ_j (1/2) p_j x_j² + q_j x_j
+    s.t. lb ≤ x ≤ ub:  x_j* = clip(−q_j/p_j, lb_j, ub_j) (p_j > 0), or
+    the bound the gradient pushes toward (p_j = 0).  Bound multipliers
+    come from stationarity  p x + q + z_ub − z_lb = 0."""
+    n = q.shape[0]
+    if lb is None and ub is None:
+        return _solve_unconstrained(P, q)
+    lo = (np.full(n, -np.inf) if lb is None
+          else np.asarray(lb, np.float64).ravel())
+    hi = (np.full(n, np.inf) if ub is None
+          else np.asarray(ub, np.float64).ravel())
+    if np.any(lo > hi):
+        return _infeasible_result(
+            n, "bounds are inconsistent (lb > ub) at indices "
+               f"{np.flatnonzero(lo > hi)[:8].tolist()}")
+    p = np.zeros(n) if P is None else np.asarray(P, np.float64).ravel()
+    pos = p > 0.0
+    target = np.where(pos, -q / np.where(pos, p, 1.0),
+                      np.where(q > 0.0, lo, np.where(q < 0.0, hi, 0.0)))
+    unbounded = ~pos & ((q > 0.0) & ~np.isfinite(lo)
+                        | (q < 0.0) & ~np.isfinite(hi))
+    if np.any(unbounded):
+        out = _infeasible_result(n, "separable problem is unbounded below "
+                                    "along coordinates "
+                                    f"{np.flatnonzero(unbounded)[:8].tolist()}")
+        out["status"] = int(Status.UNBOUNDED)
+        out["status_name"] = "UNBOUNDED"
+        return out
+    x = np.clip(target, lo, hi)
+    r = p * x + q
+    out = _infeasible_result(n, "separable closed form")
+    out.update(
+        x=x, optval=float(0.5 * x @ (p * x) + q @ x),
+        status=int(Status.SUCCESS), status_name="SUCCESS",
+        z_ub=np.maximum(-r, 0.0), z_lb=np.maximum(r, 0.0),
+    )
+    return out
+
+
 def _solve_unconstrained(P, q):
     """No constraints: Px = -q by Cholesky (PSD-singular → least norm)."""
     if P is None:  # LP with no constraints at all
@@ -411,6 +488,19 @@ def _solve_unconstrained(P, q):
         out.update(x=np.zeros(n), optval=0.0,
                    status=int(Status.SUCCESS), status_name="SUCCESS",
                    z_lb=np.zeros(n), z_ub=np.zeros(n))
+        return out
+    if np.ndim(P) == 1:  # diagonal Hessian: separable closed form
+        p = np.asarray(P, np.float64)
+        if np.any((p == 0.0) & (q != 0.0)):
+            raise ValueError(
+                "unconstrained QP is unbounded below (q has a component "
+                "outside range(P))")
+        x = np.where(p > 0.0, -q / np.where(p > 0.0, p, 1.0), 0.0)
+        out = _infeasible_result(q.shape[0], "")
+        del out["presolve"]
+        out.update(x=x, optval=float(0.5 * x @ (p * x) + q @ x),
+                   status=int(Status.SUCCESS), status_name="SUCCESS",
+                   z_lb=np.zeros(q.shape[0]), z_ub=np.zeros(q.shape[0]))
         return out
     Pd = np.asarray(
         P.todense() if _is_sparse(P) else P, np.float64)

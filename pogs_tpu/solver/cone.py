@@ -193,8 +193,19 @@ class ConeSolver:
             settings = settings.replace(rho=DEFAULT_RHO)
         if P is not None:
             P = np.asarray(P)
-            if P.shape != (self.n, self.n):
-                raise ValueError(f"P must be {self.n}x{self.n}")
+            if P.ndim == 1:
+                # Diagonal Hessian (separable quadratic): the epigraph
+                # factor is ONE sparse row per positive entry — no
+                # O(n^3) eigh, so this scales to n ~ 10^5.
+                if P.shape != (self.n,):
+                    raise ValueError(
+                        f"diagonal P must have length {self.n}")
+                if np.any(P < 0):
+                    raise ValueError("diagonal P must be nonnegative")
+            elif P.shape != (self.n, self.n):
+                raise ValueError(
+                    f"P must be {self.n}x{self.n} or a length-{self.n} "
+                    "diagonal")
             if not self.use_hsde:
                 raise ValueError(
                     "quadratic objectives with K_x constraints are not supported"
@@ -284,10 +295,21 @@ class ConeSolver:
         n, m = self.n, self.m
         npdt = np.dtype(str(self.dtype))
         P = np.asarray(P, np.float64)
-        w, V = np.linalg.eigh((P + P.T) / 2)
-        keep = w > max(1e-12, 1e-10 * max(w.max(), 1.0))
-        Lt = (np.sqrt(w[keep])[:, None] * V[:, keep].T)  # (r, n), P = Lt'Lt
-        r = Lt.shape[0]
+        diag_p = P.ndim == 1
+        if diag_p:
+            w = P
+            keep_idx = np.flatnonzero(
+                w > max(1e-12, 1e-10 * max(float(w.max(initial=0.0)), 1.0)))
+            sqw = np.sqrt(w[keep_idx])
+            r = keep_idx.size
+            Lt = None  # rows sqrt(w_i) e_i', materialized per branch below
+            lt_key = (b"diag", sqw.tobytes(), keep_idx.tobytes())
+        else:
+            w, V = np.linalg.eigh((P + P.T) / 2)
+            keep = w > max(1e-12, 1e-10 * max(w.max(), 1.0))
+            Lt = (np.sqrt(w[keep])[:, None] * V[:, keep].T)  # P = Lt'Lt
+            r = Lt.shape[0]
+            lt_key = Lt.tobytes()
 
         # Extended variable (x, t); extended rows: original m + SOC(r+2).
         if self.A.is_sparse:
@@ -310,11 +332,16 @@ class ConeSolver:
                  (np.array([0, 1]), np.array([n, n]))),
                 shape=(2, n + 1),
             )
+            if diag_p:
+                Lt_sp = sp_mod.csr_matrix(
+                    (-np.sqrt(2.0) * sqw, (np.arange(r), keep_idx)),
+                    shape=(r, n))
+            else:
+                Lt_sp = sp_mod.csr_matrix(-np.sqrt(2.0) * Lt)
             A_ext = sp_mod.vstack([
                 sp_mod.hstack([A_csr, sp_mod.csr_matrix((m, 1))]),
                 t_rows,
-                sp_mod.hstack([sp_mod.csr_matrix(-np.sqrt(2.0) * Lt),
-                               sp_mod.csr_matrix((r, 1))]),
+                sp_mod.hstack([Lt_sp, sp_mod.csr_matrix((r, 1))]),
             ]).tocsr().astype(npdt)
         else:
             A_np = np.asarray(self._A_raw, np.float64)
@@ -322,7 +349,10 @@ class ConeSolver:
             A_ext[:m, :n] = A_np
             A_ext[m, n] = -1.0       # s0 = 1 + t
             A_ext[m + 1, n] = -1.0   # s1 = -1 + t
-            A_ext[m + 2:, :n] = -np.sqrt(2.0) * Lt
+            if diag_p:
+                A_ext[m + 2 + np.arange(r), keep_idx] = -np.sqrt(2.0) * sqw
+            else:
+                A_ext[m + 2:, :n] = -np.sqrt(2.0) * Lt
             A_ext = A_ext.astype(npdt)
         b_ext = np.concatenate([np.asarray(b, np.float64),
                                 [1.0, -1.0], np.zeros(r)])
@@ -330,7 +360,7 @@ class ConeSolver:
         Ky_ext = list(self.Ky.constraints) + [
             ConeConstraint(Cone.SOC, range(m, m + r + 2))
         ]
-        sub_key = (A_ext.shape, Lt.tobytes(), _cone_key(self.Ky.constraints))
+        sub_key = (A_ext.shape, lt_key, _cone_key(self.Ky.constraints))
         sub = getattr(self, "_qp_sub", None)
         if sub is None or getattr(self, "_qp_sub_key", None) != sub_key:
             sub = ConeSolver(
@@ -361,7 +391,10 @@ class ConeSolver:
         staged = (
             settings.polish and not _no_sync
             and settings.max_iter > K_QP_SEGMENT_ITERS
-            and n <= K_QP_STAGED_N_MAX
+            # A diagonal P polishes at any n (bound-row elimination + a
+            # small Schur complement, qp_polish.py); a dense P needs its
+            # KKT LU to fit.
+            and (diag_p or n <= K_QP_STAGED_N_MAX)
             and row_kinds(m, self.Ky.constraints) is not None
         )
         if not staged:
@@ -399,8 +432,10 @@ class ConeSolver:
             x, y, nu, status, final_nrm_r, final_nrm_s = self._polish_qp(
                 P, b, c, res.x[:n], res.y[:m], res.nu[:m],
                 res.status, res.nrm_r, res.nrm_s, settings)
+        Px = (jnp.asarray(P, self.dtype) * x if diag_p
+              else jnp.asarray(P, self.dtype) @ x)
         optval = jnp.vdot(jnp.asarray(c, self.dtype), x) + 0.5 * jnp.vdot(
-            x, jnp.asarray(P, self.dtype) @ x
+            x, Px
         )
         return SolverResult(
             x=x, y=y, mu=res.mu[:n], nu=nu,
@@ -418,6 +453,10 @@ class ConeSolver:
         if not (settings.polish
                 and status in (Status.SUCCESS, Status.MAX_ITER)):
             return x, y, nu, status, nrm_r, nrm_s
+        # A 1-D (diagonal) P passes through unchanged: the polish solves
+        # its KKT systems via bound-row elimination + a small Schur
+        # complement, never forming an (n, n) object.
+        P = np.asarray(P, np.float64)
         from pogs_tpu.solver.qp_polish import active_set_polish, row_kinds
 
         kind = row_kinds(self.m, self.Ky.constraints)
@@ -463,17 +502,27 @@ class ConeSolver:
         self.init()
         npdt = np.dtype(str(self.dtype))
         P64 = np.asarray(P, np.float64)
-        P64 = (P64 + P64.T) / 2
+        diag_mode = P64.ndim == 1
         e_host = np.asarray(self._init_state["e"], np.float64)
-        eig_key = (hash(P64.tobytes()), hash(e_host.tobytes()))
-        cached = getattr(self, "_qp_eig", None)
-        if cached is None or cached[0] != eig_key:
-            P_s = P64 * e_host[:, None] * e_host[None, :]
-            lam_eig, V = np.linalg.eigh(P_s)
-            lam_eig = np.maximum(lam_eig, 0.0)  # PSD clamp
-            cached = (eig_key, V.astype(npdt), lam_eig)
-            self._qp_eig = cached
-        _, V, lam_eig = cached
+        if diag_mode:
+            # Diagonal Hessian: the eigenbasis IS the coordinate basis, so
+            # the x-prox is one elementwise divide — no eigh, no (n, n)
+            # anything.  This is the scalable route for big separable QPs
+            # (the epigraph-SOC route drags a 2(n)-row extension through
+            # CGLS there).
+            lam_eig = np.maximum(P64, 0.0) * e_host * e_host
+            V = np.zeros((0, 0), npdt)
+        else:
+            P64 = (P64 + P64.T) / 2
+            eig_key = (hash(P64.tobytes()), hash(e_host.tobytes()))
+            cached = getattr(self, "_qp_eig", None)
+            if cached is None or cached[0] != eig_key:
+                P_s = P64 * e_host[:, None] * e_host[None, :]
+                lam_eig, V = np.linalg.eigh(P_s)
+                lam_eig = np.maximum(lam_eig, 0.0)  # PSD clamp
+                cached = (eig_key, V.astype(npdt), lam_eig)
+                self._qp_eig = cached
+            _, V, lam_eig = cached
         # Objective normalization — the QP analogue of the LP path's
         # ‖c‖→1 (pogs.cpp:738-755): divide the WHOLE objective (c and P
         # together, so the argmin is untouched) by σ = max(λmax(P_s),
@@ -484,10 +533,11 @@ class ConeSolver:
         lam_hat = (lam_eig / sigma).astype(npdt)
 
         key = ((m, n), str(self.dtype), _cone_key(self.Ky.constraints),
-               settings, self.projector, "qp_admm")
+               settings, self.projector, "qp_admm", diag_mode)
         fn = _CONE_SOLVE_CACHE.get(key)
         if fn is None:
-            fn = jax.jit(highest_precision(self._build_qp_admm_solve(settings)))
+            fn = jax.jit(highest_precision(
+                self._build_qp_admm_solve(settings, diag_mode)))
             _CONE_SOLVE_CACHE[key] = fn
         b_in = np.asarray(b, npdt)
         c_in = np.asarray(c, npdt)
@@ -501,8 +551,10 @@ class ConeSolver:
         x, y, nu, status, final_nrm_r, final_nrm_s = self._polish_qp(
             P64, b_in, c_in, x, y, nu, status, out["r_pri"], out["r_dua"],
             settings)
+        Px = (jnp.asarray(P64, self.dtype) * x if diag_mode
+              else jnp.asarray(P64, self.dtype) @ x)
         optval = jnp.vdot(jnp.asarray(c_in, self.dtype), x) + 0.5 * jnp.vdot(
-            x, jnp.asarray(P64, self.dtype) @ x)
+            x, Px)
         solve_time = time.perf_counter() - t0
         return SolverResult(
             x=x, y=y, mu=out["mu"], nu=nu,
@@ -511,7 +563,8 @@ class ConeSolver:
             solve_time=solve_time,
         )
 
-    def _build_qp_admm_solve(self, settings: SolverSettings):
+    def _build_qp_admm_solve(self, settings: SolverSettings,
+                             diag_mode: bool = False):
         m, n = self.m, self.n
         Ky = self.Ky
         dt = self.dtype
@@ -529,14 +582,20 @@ class ConeSolver:
             lamj = jnp.asarray(lam_hat, dt)
 
             def prox_fn(x_in, y_in, rho):
-                w = jnp.matmul(Vj.T, rho * x_in - c_s, precision=_PRECISION)
-                x12 = jnp.matmul(Vj, w / (lamj + rho), precision=_PRECISION)
+                if diag_mode:  # P_s is diagonal: the prox is elementwise
+                    x12 = (rho * x_in - c_s) / (lamj + rho)
+                else:
+                    w = jnp.matmul(Vj.T, rho * x_in - c_s,
+                                   precision=_PRECISION)
+                    x12 = jnp.matmul(Vj, w / (lamj + rho),
+                                     precision=_PRECISION)
                 y12 = b_s - Ky.project(b_s - y_in)
                 return x12, y12
 
             def eval_fn(x12, y12):
                 # cᵀx + ½xᵀP_s x without materializing P_s: P_s = VΛVᵀ.
-                w = jnp.matmul(Vj.T, x12, precision=_PRECISION)
+                w = (x12 if diag_mode
+                     else jnp.matmul(Vj.T, x12, precision=_PRECISION))
                 return jnp.vdot(c_s, x12) + 0.5 * jnp.vdot(w, lamj * w)
 
             factor = init_state["factor"]

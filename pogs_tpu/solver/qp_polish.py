@@ -66,6 +66,11 @@ def row_kinds(m: int, cones) -> Optional[np.ndarray]:
     return kind
 
 
+def _pmv(P, x):
+    """P @ x for dense (n, n) or diagonal 1-D P."""
+    return P * x if P.ndim == 1 else P @ x
+
+
 def kkt_residuals(P, c, A, b, kind, x, lam):
     """Relative inf-norm KKT residuals of (x, λ) for the row classes above.
 
@@ -73,9 +78,12 @@ def kkt_residuals(P, c, A, b, kind, x, lam):
     primal        eq: b−Ax = 0;  NonNeg: b−Ax ≥ 0;  NonPos: b−Ax ≤ 0
     dual sign     NonNeg: λ ≥ 0;  NonPos: λ ≤ 0
     complementarity  λᵢ·(b−Ax)ᵢ = 0 on inequality rows
+
+    ``P`` may be the dense (n, n) Hessian or its 1-D diagonal; ``A`` may
+    be dense or scipy sparse.
     """
     s = b - A @ x
-    Px = P @ x
+    Px = _pmv(P, x)
     Atl = A.T @ lam if lam.size else np.zeros_like(x)
     r_stat = np.max(np.abs(Px + c + Atl)) / (
         1.0 + max(np.max(np.abs(Px), initial=0.0),
@@ -103,13 +111,27 @@ def _solve_kkt_reduced(P, A_act, c, b_act):
     general rows: on CVXQP1_M this shrinks the LU from dim ~3000 to
     ~1300, cutting each PDAS iteration ~10x.  Falls back to the full
     solve when there are no bound rows.  Returns (x, lam_act) with
-    lam_act in the original active-row order, or None."""
+    lam_act in the original active-row order, or None.
+
+    ``P`` may be dense (n, n) or a 1-D diagonal; ``A_act`` may be dense
+    or scipy sparse.  With a diagonal P the free block solves
+    elementwise and the general rows reduce to a k_gen x k_gen Schur
+    complement, so no O(n^2) object is ever formed — the path that
+    makes the polish usable at n ~ 10^5.
+    """
+    diag_p = P.ndim == 1
     n = P.shape[0]
     k = A_act.shape[0]
-    nnz = np.count_nonzero(A_act, axis=1)
+    is_sp = hasattr(A_act, "tocsr")
+    if is_sp:
+        A_csr = A_act.tocsr()
+        nnz = np.diff(A_csr.indptr)
+    else:
+        nnz = np.count_nonzero(A_act, axis=1)
     bound_rows = np.flatnonzero(nnz == 1)
-    if bound_rows.size == 0:
-        return _solve_kkt(P, A_act, c, b_act)
+    if bound_rows.size == 0 and not diag_p:
+        A_d = A_csr.toarray() if is_sp else np.asarray(A_act, np.float64)
+        return _solve_kkt(P, A_d, c, b_act)
     # First bound row per variable fixes it; duplicates (both bounds of
     # one variable detected active) stay general so inconsistency shows
     # up as a residual and gets rejected rather than silently dropped.
@@ -118,18 +140,31 @@ def _solve_kkt_reduced(P, A_act, c, b_act):
     x_fix = np.zeros(n)
     fixed_mask = np.zeros(n, bool)
     keeper_of = {}
+    coef_of = {}
     for i in bound_rows:
-        j = int(np.flatnonzero(A_act[i])[0])
+        if is_sp:
+            ptr = A_csr.indptr[i]
+            j = int(A_csr.indices[ptr])
+            a_ij = float(A_csr.data[ptr])
+        else:
+            j = int(np.flatnonzero(A_act[i])[0])
+            a_ij = float(A_act[i, j])
         if j in seen:
             general.append(i)
             continue
         seen.add(j)
         keeper_of[j] = i
+        coef_of[j] = a_ij
         fixed_mask[j] = True
-        x_fix[j] = b_act[i] / A_act[i, j]
+        x_fix[j] = b_act[i] / a_ij
     general = np.asarray(sorted(general), np.intp)
     free = np.flatnonzero(~fixed_mask)
+    if general.size * n > 50_000_000:  # dense general block would not fit
+        return None
     A_gen = A_act[general]
+    if hasattr(A_gen, "toarray"):
+        A_gen = A_gen.toarray()
+    A_gen = np.asarray(A_gen, np.float64)
     A_gf = A_gen[:, free]
     # A general row whose support is entirely fixed variables (or a
     # duplicate bound) contributes a zero row to the reduced system —
@@ -140,11 +175,18 @@ def _solve_kkt_reduced(P, A_act, c, b_act):
     general = general[keep]
     A_gen = A_gen[keep]
     A_gf = A_gf[keep]
-    P_ff = P[np.ix_(free, free)]
-    rhs_top = -(c[free] + P[np.ix_(free, np.flatnonzero(fixed_mask))]
-                @ x_fix[fixed_mask])
-    rhs_bot = b_act[general] - A_gen[:, fixed_mask] @ x_fix[fixed_mask]
-    sol = _solve_kkt(P_ff, A_gf, -rhs_top, rhs_bot)
+    fixed_idx = np.flatnonzero(fixed_mask)
+    if diag_p:
+        p_f = P[free]
+        rhs_top = -c[free]  # no off-diagonal coupling to the fixed block
+        rhs_bot = b_act[general] - A_gen[:, fixed_idx] @ x_fix[fixed_idx]
+        sol = _solve_kkt_diag(p_f, A_gf, -rhs_top, rhs_bot)
+    else:
+        P_ff = P[np.ix_(free, free)]
+        rhs_top = -(c[free] + P[np.ix_(free, fixed_idx)]
+                    @ x_fix[fixed_idx])
+        rhs_bot = b_act[general] - A_gen[:, fixed_idx] @ x_fix[fixed_idx]
+        sol = _solve_kkt(P_ff, A_gf, -rhs_top, rhs_bot)
     if sol is None:
         return None
     x_f, lam_gen = sol
@@ -152,12 +194,65 @@ def _solve_kkt_reduced(P, A_act, c, b_act):
     x[free] = x_f
     # Bound duals from stationarity: r = Px + c + A_genᵀλ_gen must be
     # cancelled by a·λ_bound on each fixed coordinate.
-    r = P @ x + c + A_gen.T @ lam_gen
+    r = _pmv(P, x) + c + A_gen.T @ lam_gen
     lam_act = np.zeros(k)
     lam_act[general] = lam_gen
     for j, i in keeper_of.items():
-        lam_act[i] = -r[j] / A_act[i, j]
+        lam_act[i] = -r[j] / coef_of[j]
     return x, lam_act
+
+
+def _solve_kkt_diag(p_f, A_gf, c, b_gen):
+    """KKT solve for a DIAGONAL free-block Hessian:
+
+        [ diag(p_f)  A_gfᵀ ] [x_f]   [ −c    ]
+        [ A_gf        0    ] [ λ ] = [ b_gen ]
+
+    Eliminate x_f = (−c − A_gfᵀλ)/p_f and solve the k_gen×k_gen Schur
+    complement (A_gf diag(1/p_f) A_gfᵀ) λ = −(b_gen + A_gf(c/p_f)).
+    Zero diagonal entries are δ-regularized; two refinement passes
+    against the exact system keep the regularization out of the answer
+    (a genuinely singular direction shows up as a residual and the
+    caller's acceptance test rejects it)."""
+    import scipy.linalg as sla
+
+    k = A_gf.shape[0]
+    p_reg = np.maximum(p_f, _DELTA)
+    if k == 0:
+        x_f = -c / p_reg
+        if not np.all(np.isfinite(x_f)):
+            return None
+        return x_f, np.zeros(0)
+    Ainv = A_gf / p_reg[None, :]
+    M = Ainv @ A_gf.T
+    M[np.diag_indices_from(M)] += _DELTA * (1.0 + np.diag(M))
+    try:
+        cf = sla.cho_factor(M)
+    except Exception:
+        try:
+            lu = sla.lu_factor(M)
+            cf = None
+        except Exception:
+            return None
+
+    def schur_solve(rc, rb):
+        # Solve the block system with rhs (−rc, rb).
+        t = rb + Ainv @ rc
+        lam = (sla.cho_solve(cf, -t) if cf is not None
+               else sla.lu_solve(lu, -t))
+        x_f = (-rc - A_gf.T @ lam) / p_reg
+        return x_f, lam
+
+    x_f, lam = schur_solve(c, b_gen)
+    for _ in range(2):  # refinement vs the UNregularized diagonal
+        res_top = p_f * x_f + A_gf.T @ lam + c
+        res_bot = A_gf @ x_f - b_gen
+        dx, dlam = schur_solve(res_top, -res_bot)
+        x_f = x_f + dx
+        lam = lam + dlam
+    if not (np.all(np.isfinite(x_f)) and np.all(np.isfinite(lam))):
+        return None
+    return x_f, lam
 
 
 def _solve_kkt(P, A_act, c, b_act):
@@ -207,10 +302,10 @@ def _repair_duals(P, c, A, kind, x, act):
     stationarity, which the acceptance test then correctly rejects)."""
     import scipy.linalg as sla
 
-    g = P @ x + c
+    g = _pmv(P, x) + c
     W = np.flatnonzero(act)
-    if W.size == 0:
-        return None
+    if W.size == 0 or W.size * A.shape[1] > 50_000_000:
+        return None  # dense working-set block would not fit
     A_W = A[W]
     if hasattr(A_W, "toarray"):
         A_W = A_W.toarray()
@@ -284,12 +379,13 @@ def active_set_polish(P, c, A, b, kind, x, lam, tol):
             break
         seen.add(key)
         k = int(np.count_nonzero(act))
-        if n + k > _MAX_KKT_DIM:
+        if P.ndim == 2 and n + k > _MAX_KKT_DIM:
+            # Dense-P KKT would not fit; the diagonal path guards its own
+            # (much smaller) reduced system instead.
             return best
         A_act = A[np.flatnonzero(act)]
-        if hasattr(A_act, "toarray"):
-            A_act = A_act.toarray()
-        A_act = np.asarray(A_act, np.float64)
+        if not hasattr(A_act, "tocsr"):  # sparse stays sparse end to end
+            A_act = np.asarray(A_act, np.float64)
         sol = _solve_kkt_reduced(P, A_act, c, b[act])
         if sol is None:
             break

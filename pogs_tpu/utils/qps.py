@@ -362,7 +362,10 @@ def qps_to_solve_qp_kwargs(p):
     h = np.concatenate([r[le], -r[ge]])
     b_eq = r[eq]
     kw = {
-        "P": p["Q"].toarray() if is_sp and sp.issparse(p["Q"]) else p["Q"],
+        # Sparse Q passes through verbatim: solve_qp detects diagonal
+        # sparse Hessians (its factorization-free path) and densifies
+        # anything else itself.
+        "P": p["Q"],
         "q": p["c"],
         "lb": p["lb"],
         "ub": p["ub"],

@@ -589,3 +589,87 @@ def test_sparse_qp_polish_path():
         options={"maxiter": 1000, "ftol": 1e-14})
     assert r["status"] == 0
     assert r["optval"] == pytest.approx(float(ref.fun), rel=1e-6, abs=1e-6)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_presolve_reducible_qp_vs_slsqp(seed):
+    """Random QPs with fixed variables (lb == ub) and rows the
+    substitution empties: presolved solve_qp must match SLSQP on the
+    FULL problem, and the expanded duals must satisfy stationarity."""
+    from scipy.optimize import minimize
+
+    from pogs_tpu import Status, solve_qp
+
+    rng = np.random.default_rng(900 + seed)
+    n = int(rng.integers(6, 14))
+    B = rng.normal(size=(n, n))
+    P = B @ B.T + 0.5 * np.eye(n)
+    q = rng.normal(size=n)
+    lb = np.full(n, -2.0)
+    ub = np.full(n, 2.0)
+    n_fix = int(rng.integers(1, max(2, n // 3)))
+    fix = rng.choice(n, n_fix, replace=False)
+    vals = rng.uniform(-1.0, 1.0, n_fix)
+    lb[fix] = ub[fix] = vals
+    m_g = int(rng.integers(2, 6))
+    G = rng.normal(size=(m_g, n))
+    h = G @ rng.uniform(-0.5, 0.5, n) + rng.uniform(0.2, 1.0, m_g)
+    # one row supported only on the fixed variables, satisfied at them
+    row = np.zeros(n)
+    row[fix] = rng.normal(size=n_fix)
+    G = np.vstack([G, row])
+    h = np.concatenate([h, [row[fix] @ vals + 0.5]])
+
+    out = solve_qp(P, q, G, h, lb=lb, ub=ub, abs_tol=1e-8, rel_tol=1e-8,
+                   max_iter=8000, dtype=np.float64)
+    assert Status(out["status"]) == Status.SUCCESS
+    assert out["presolve"]["fixed_variables"] == n_fix
+    ref = minimize(
+        lambda x: 0.5 * x @ P @ x + q @ x, np.clip(np.zeros(n), lb, ub),
+        jac=lambda x: P @ x + q,
+        constraints=[{"type": "ineq", "fun": lambda x: h - G @ x,
+                      "jac": lambda x: -G}],
+        bounds=list(zip(lb, ub)), method="SLSQP",
+        options={"maxiter": 800, "ftol": 1e-14})
+    assert ref.success
+    assert out["optval"] == pytest.approx(float(ref.fun), rel=1e-6, abs=1e-6)
+    np.testing.assert_allclose(out["x"][fix], vals, atol=1e-12)
+    r = (P @ out["x"] + q + G.T @ out["z_ineq"]
+         + out["z_ub"] - out["z_lb"])
+    assert np.abs(r).max() < 1e-5
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_diag_qp_vs_dense(seed):
+    """Diagonal-P solves (1-D, sparse-diagonal) must match the dense
+    np.diag solve and SLSQP on random box+inequality QPs."""
+    import scipy.sparse as ssp
+    from scipy.optimize import minimize
+
+    from pogs_tpu import Status, solve_qp
+
+    rng = np.random.default_rng(950 + seed)
+    n = int(rng.integers(5, 12))
+    p = rng.uniform(0.3, 3.0, n)
+    q = rng.normal(size=n)
+    lb = np.full(n, -1.0)
+    ub = np.full(n, 1.0)
+    G = rng.normal(size=(4, n))
+    h = G @ rng.uniform(-0.3, 0.3, n) + rng.uniform(0.1, 0.8, 4)
+    kw = dict(abs_tol=1e-8, rel_tol=1e-8, max_iter=8000, dtype=np.float64)
+    dense = solve_qp(np.diag(p), q, G, h, lb=lb, ub=ub, **kw)
+    for P_in in (p, ssp.diags(p).tocsr()):
+        out = solve_qp(P_in, q, G, h, lb=lb, ub=ub, **kw)
+        assert Status(out["status"]) == Status.SUCCESS
+        assert out["optval"] == pytest.approx(dense["optval"],
+                                              rel=1e-6, abs=1e-7)
+    ref = minimize(
+        lambda x: 0.5 * x @ (p * x) + q @ x, np.zeros(n),
+        jac=lambda x: p * x + q,
+        constraints=[{"type": "ineq", "fun": lambda x: h - G @ x,
+                      "jac": lambda x: -G}],
+        bounds=list(zip(lb, ub)), method="SLSQP",
+        options={"maxiter": 800, "ftol": 1e-14})
+    assert ref.success
+    assert dense["optval"] == pytest.approx(float(ref.fun),
+                                            rel=1e-6, abs=1e-6)

@@ -391,3 +391,94 @@ def test_solve_lp_unconstrained():
     assert Status(out["status"]) == Status.SUCCESS and out["optval"] == 0.0
     with pytest.raises(ValueError, match="unbounded"):
         solve_lp(np.array([1.0, 0.0]))
+
+
+# ---- diagonal Hessian (separable quadratic) --------------------------------
+
+def test_diag_P_matches_dense(rng):
+    """A 1-D P (and an equivalent sparse-diagonal P) must agree with the
+    dense np.diag(P) solve on every output."""
+    n = 10
+    p = rng.uniform(0.5, 3.0, n)
+    q = rng.standard_normal(n)
+    G = rng.standard_normal((6, n))
+    h = G @ (0.1 * np.ones(n)) + 0.5
+    kw = dict(abs_tol=1e-8, rel_tol=1e-8, dtype=np.float64)
+    dense = solve_qp(np.diag(p), q, G, h, **kw)
+    diag = solve_qp(p, q, G, h, **kw)
+    spdiag = solve_qp(sp.diags(p).tocsr(), q, G, h, **kw)
+    for out in (diag, spdiag):
+        assert Status(out["status"]) == Status.SUCCESS
+        assert abs(out["optval"] - dense["optval"]) < 1e-7
+        np.testing.assert_allclose(out["x"], dense["x"], atol=1e-6)
+
+
+def test_diag_P_separable_closed_form(rng):
+    """Bounds-only separable QP (diagonal P): answered by the exact
+    per-coordinate closed form, no iteration — instant even at n = 10^5."""
+    n = 100_000
+    p = rng.uniform(0.5, 2.0, n)
+    q = rng.standard_normal(n)
+    lb = np.full(n, -0.5)
+    ub = np.full(n, 0.5)
+    x_star = np.clip(-q / p, lb, ub)
+    out = solve_qp(p, q, lb=lb, ub=ub)
+    assert Status(out["status"]) == Status.SUCCESS
+    np.testing.assert_allclose(out["x"], x_star)
+    # stationarity with the returned bound multipliers
+    r = p * out["x"] + q + out["z_ub"] - out["z_lb"]
+    assert np.abs(r).max() < 1e-12
+    # unbounded detection: a zero-curvature coordinate with an open end
+    out2 = solve_qp(np.zeros(2), np.array([1.0, 0.0]),
+                    lb=np.array([-np.inf, 0.0]), ub=np.array([1.0, 2.0]))
+    assert Status(out2["status"]) == Status.UNBOUNDED
+
+
+def test_diag_P_large_n_staged_polish(rng):
+    """Diagonal P + general sparse rows past the dense-polish bound
+    (n > K_QP_STAGED_N_MAX): the diagonal PDAS path (bound-row
+    elimination + small Schur complement) still certifies the optimum at
+    the first segment boundary — no (n, n) object is ever formed."""
+    from pogs_tpu.solver.cone import K_QP_SEGMENT_ITERS, K_QP_STAGED_N_MAX
+    from pogs_tpu.solver.qp_polish import kkt_residuals
+
+    n = K_QP_STAGED_N_MAX + 1000
+    p = rng.uniform(0.5, 2.0, n)
+    q = rng.standard_normal(n)
+    lb = np.full(n, -0.5)
+    ub = np.full(n, 0.5)
+    G = sp.random(20, n, density=0.005, random_state=7, format="csr")
+    h = np.full(20, -0.05)
+    out = solve_qp(p, q, G, h, lb=lb, ub=ub, abs_tol=1e-6, rel_tol=1e-6,
+                   max_iter=4000, dtype=np.float64)
+    assert Status(out["status"]) == Status.SUCCESS
+    assert out["num_iters"] <= 2 * K_QP_SEGMENT_ITERS
+    A_bar = sp.vstack([G, sp.eye(n), -sp.eye(n)]).tocsr()
+    b_bar = np.concatenate([h, ub, -lb])
+    lam = np.concatenate([out["z_ineq"], out["z_ub"], out["z_lb"]])
+    res = kkt_residuals(p, q, A_bar, b_bar,
+                        np.ones(A_bar.shape[0], np.int8), out["x"], lam)
+    assert max(res.values()) < 1e-8
+
+
+def test_diag_P_presolve_fixed_vars(rng):
+    n = 8
+    p = rng.uniform(0.5, 2.0, n)
+    q = rng.standard_normal(n)
+    lb = np.full(n, -1.0)
+    ub = np.full(n, 1.0)
+    lb[3] = ub[3] = 0.25
+    out = solve_qp(p, q, lb=lb, ub=ub, abs_tol=1e-8, rel_tol=1e-8,
+                   dtype=np.float64)
+    assert out["presolve"]["fixed_variables"] == 1
+    ref = _slsqp(np.diag(p), q, lb=lb, ub=ub)
+    assert abs(out["optval"] - ref.fun) < 1e-6
+
+
+def test_diag_P_unconstrained():
+    p = np.array([2.0, 4.0])
+    q = np.array([-2.0, 8.0])
+    out = solve_qp(p, q)
+    np.testing.assert_allclose(out["x"], [1.0, -2.0])
+    with pytest.raises(ValueError, match="unbounded"):
+        solve_qp(np.array([1.0, 0.0]), np.array([0.0, 1.0]))

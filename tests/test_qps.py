@@ -229,7 +229,11 @@ def test_qps_to_solve_qp_kwargs_sparse():
     np.testing.assert_allclose(kw["G"].toarray(), [[-10.0, 1.0]])
     np.testing.assert_allclose(kw["h"], [-10.0])
     assert "A" not in kw
-    assert not sp.issparse(kw["P"])  # P is densified for solve_qp
+    # Sparse Q passes through; solve_qp's diagonal detection handles it.
+    assert sp.issparse(kw["P"])
+    out = __import__("pogs_tpu").solve_qp(
+        abs_tol=1e-8, rel_tol=1e-8, dtype=np.float64, **kw)
+    assert abs(out["optval"] - 100.0 + 99.96) < 1e-5  # c0 = -100
 
 
 def test_plain_mps_lp_solves():
