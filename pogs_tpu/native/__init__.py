@@ -27,7 +27,13 @@ from typing import Optional
 
 import numpy as np
 
-from pogs_tpu.types import ConeConstraint, FunctionVector, SolverSettings, Status
+from pogs_tpu.types import (
+    ConeConstraint,
+    Function,
+    FunctionVector,
+    SolverSettings,
+    Status,
+)
 
 _REPO_ROOT = Path(__file__).resolve().parents[2]
 
@@ -144,6 +150,12 @@ def _bind(lib: ct.CDLL) -> ct.CDLL:
         _D, _D, _D, _D, ct.POINTER(PogsNativeInfo),
     ]
     lib.pogs_native_cone_solve.restype = ct.c_int32
+    lib.pogs_native_lasso_cd.argtypes = [
+        ct.c_size_t, ct.c_size_t, _D, _D, _D, _D,
+        ct.POINTER(PogsNativeSettings),
+        _D, _D, _D, _D, ct.POINTER(PogsNativeInfo),
+    ]
+    lib.pogs_native_lasso_cd.restype = ct.c_int32
     return lib
 
 
@@ -483,19 +495,88 @@ def solve_cone_native(A, b, c, Kx=(), Ky=(), P=None,
         solver.free()
 
 
+def _lasso_shape(f: FunctionVector, g: FunctionVector):
+    """Detect min ½‖y−b‖² + Σ l1|x| + ½Σ l2 x²  (lasso / elastic net).
+
+    Returns (b, l1, l2) or None.  This is the shape the coordinate-
+    descent fast path solves directly — an order of magnitude less
+    arithmetic than the ADMM runtime on host-size problems."""
+    if not (np.all(np.asarray(f.h) == int(Function.SQUARE))
+            and np.all(np.asarray(g.h) == int(Function.ABS))):
+        return None
+    for v, want in ((f.a, 1.0), (f.c, 1.0), (f.d, 0.0), (f.e, 0.0),
+                    (g.a, 1.0), (g.b, 0.0), (g.d, 0.0)):
+        if not np.all(np.asarray(v) == want):
+            return None
+    l1 = np.asarray(g.c, np.float64)
+    l2 = np.asarray(g.e, np.float64)
+    if np.any(l1 < 0) or np.any(l2 < 0):
+        return None
+    return (np.asarray(f.b, np.float64), l1, l2)
+
+
+def lasso_cd(A, b, l1, l2=None, settings: Optional[SolverSettings] = None,
+             x0=None) -> dict:
+    """Native coordinate descent for elastic-net least squares
+    (src/native/cd.hpp) — the algorithm class behind sklearn/glmnet,
+    which the reference lacks entirely.  ``l1``/``l2`` broadcast to
+    length n; ``x0`` warm-starts the sweeps."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(
+            "native library not available; run pogs_tpu.native.build()")
+    A = np.ascontiguousarray(np.asarray(A, np.float64))
+    m, n = A.shape
+    b = np.ascontiguousarray(np.asarray(b, np.float64).ravel())
+    l1 = np.ascontiguousarray(np.broadcast_to(
+        np.asarray(l1, np.float64), (n,)))
+    l2 = np.ascontiguousarray(np.broadcast_to(
+        np.asarray(0.0 if l2 is None else l2, np.float64), (n,)))
+    settings = settings or SolverSettings()
+    st = _settings_struct(settings, x0 is not None)
+    x = (np.zeros(n) if x0 is None
+         else np.ascontiguousarray(np.asarray(x0, np.float64)).copy())
+    y = np.empty(m)
+    mu = np.empty(n)
+    nu = np.empty(m)
+    info = PogsNativeInfo()
+    status = lib.pogs_native_lasso_cd(
+        m, n, A.ctypes.data_as(_D), b.ctypes.data_as(_D),
+        l1.ctypes.data_as(_D), l2.ctypes.data_as(_D), ct.byref(st),
+        x.ctypes.data_as(_D), y.ctypes.data_as(_D),
+        mu.ctypes.data_as(_D), nu.ctypes.data_as(_D), ct.byref(info),
+    )
+    return {
+        "x": x, "y": y, "mu": mu, "l": nu,
+        "optval": float(info.optval),
+        "iterations": int(info.final_iter),
+        "status": Status(int(status)),
+        "nrm_r": float(info.nrm_r),
+        "nrm_s": float(info.nrm_s),
+        "rho": 0.0,
+        "algorithm": "cd",
+    }
+
+
 def solve_graph_native(A, f: FunctionVector, g: FunctionVector,
                        settings: Optional[SolverSettings] = None, **kw) -> dict:
     """One-shot native solve of min f(y) + g(x) s.t. y = Ax.
 
     Dense ndarray inputs use the direct projector; scipy-sparse inputs use
-    CGLS.  Accepts the same keyword tolerances as the Python API.
+    CGLS.  Lasso/elastic-net shapes take the coordinate-descent fast path
+    (:func:`lasso_cd`).  Accepts the same keyword tolerances as the
+    Python API.
     """
     if settings is None:
         settings = SolverSettings(**kw) if kw else SolverSettings()
-    if hasattr(A, "tocsr"):
-        solver = NativeSparseSolver(A)
-    else:
+    if not hasattr(A, "tocsr"):
+        shape = _lasso_shape(f, g)
+        if shape is not None:
+            b, l1, l2 = shape
+            return lasso_cd(A, b, l1, l2, settings=settings)
         solver = NativeDenseSolver(A)
+    else:
+        solver = NativeSparseSolver(A)
     try:
         return solver.solve(f, g, settings)
     finally:

@@ -224,6 +224,22 @@ int32_t pogs_native_solve_dense_s(
     const float* g_c, const float* g_d, const float* g_e,
     float* x, float* y, float* mu, float* nu, PogsNativeInfo* info);
 
+/* ------------------------------------------------------------------ */
+/* Coordinate descent for elastic-net least squares:                   */
+/*   min (1/2)||Ax - b||^2 + sum_j l1[j]|x_j| + (1/2) sum_j l2[j]x_j^2 */
+/* A row-major (m x n); l1/l2 length-n (l2 may be NULL = zeros).       */
+/* settings: abs_tol scales the KKT stop, max_iter bounds the sweeps,  */
+/* warm_start reuses the x passed in as the start point.               */
+/* Outputs (each may be NULL): x, y = Ax, mu = A'(b-Ax) (in dg(x)),    */
+/* nu = Ax - b.  info: optval, final_iter = sweeps, nrm_s = KKT resid. */
+/* ------------------------------------------------------------------ */
+
+int32_t pogs_native_lasso_cd(
+    size_t m, size_t n, const double* A, const double* b,
+    const double* l1, const double* l2,
+    const PogsNativeSettings* settings,
+    double* x, double* y, double* mu, double* nu, PogsNativeInfo* info);
+
 #ifdef __cplusplus
 } /* extern "C" */
 #endif

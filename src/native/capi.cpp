@@ -15,6 +15,7 @@
 #include <vector>
 
 #include "admm.hpp"
+#include "cd.hpp"
 #include "cone.hpp"
 #include "qp_polish.hpp"
 #include "linalg.hpp"
@@ -849,4 +850,53 @@ extern "C" int32_t pogs_native_solve_dense_s(
   }
   if (info) *info = inf;
   return status;
+}
+
+extern "C" int32_t pogs_native_lasso_cd(
+    size_t m, size_t n, const double* A, const double* b,
+    const double* l1, const double* l2,
+    const PogsNativeSettings* settings,
+    double* x, double* y, double* mu, double* nu, PogsNativeInfo* info) {
+  if (!A || !b || !l1 || !x) return POGS_NATIVE_ERROR;
+  PogsNativeSettings st;
+  if (settings) st = *settings;
+  else pogs_native_settings_default(&st);
+  std::vector<double> l2v;
+  if (!l2) {
+    l2v.assign(n, 0.0);
+    l2 = l2v.data();
+  }
+  if (!st.warm_start) std::memset(x, 0, n * sizeof(double));
+  double l1_max = 0.0;
+  for (size_t j = 0; j < n; ++j) l1_max = std::max(l1_max, l1[j]);
+  // KKT stop scaled like the benchmark's relative-to-lambda metric:
+  // abs_tol * (1 + max l1) keeps the default 1e-4 meaning "1e-4 of the
+  // soft-threshold level" on unit-scale problems.
+  const double tol_kkt = st.abs_tol * (1.0 + l1_max);
+  std::vector<double> r(m);
+  pogs_native::CdResult res = pogs_native::cd_elastic_net(
+      m, n, A, b, l1, l2, /*tol_move=*/1e-3 * st.abs_tol + 1e-10, tol_kkt,
+      st.max_iter, x, r.data());
+  if (y || nu)
+    for (size_t i = 0; i < m; ++i) {
+      const double yi = b[i] - r[i];
+      if (y) y[i] = yi;
+      if (nu) nu[i] = -r[i];
+    }
+  if (mu)
+    for (size_t j = 0; j < n; ++j) {
+      double acc = 0.0;
+      for (size_t i = 0; i < m; ++i) acc += A[i * n + j] * r[i];
+      mu[j] = acc;
+    }
+  if (info) {
+    info->optval = res.optval;
+    info->final_iter = res.sweeps;
+    info->status = res.converged ? 0 : 3; /* SUCCESS : MAX_ITER */
+    info->nrm_r = 0.0;
+    info->nrm_s = res.kkt;
+    info->gap = 0.0;
+    info->rho_final = 0.0;
+  }
+  return res.converged ? 0 : 3;
 }

@@ -475,3 +475,79 @@ def test_native_qp_polish_machine_precision():
     r2 = s.solve(b_bar, c, settings=st.replace(polish=False))
     obj2 = float(r2["optval"]) + p["c0"]
     assert abs(obj2 - p["optval"]) <= 1e-3  # ADMM-level accuracy
+
+
+# ---- coordinate-descent fast path (src/native/cd.hpp) ----------------------
+
+def test_cd_lasso_matches_jax(native):
+    from pogs_tpu.api.graph import solve_lasso
+
+    A, b, lam = _lasso_problem(120, 60, seed=9)
+    out = native.lasso_cd(A, b, lam,
+                          settings=SolverSettings(abs_tol=1e-7))
+    assert out["status"] == Status.SUCCESS
+    assert out["algorithm"] == "cd"
+    ref = solve_lasso(A, b, lam, dtype=np.float64, abs_tol=1e-8,
+                      rel_tol=1e-8, max_iter=20000, backend="jax")
+    assert abs(out["optval"] - float(ref["optval"])) <= 1e-6 * (
+        1.0 + abs(float(ref["optval"])))
+    # exact subgradient optimality at the returned point
+    r = b - A @ out["x"]
+    g = -A.T @ r
+    kkt = np.max(np.where(np.abs(out["x"]) > 0,
+                          np.abs(g + lam * np.sign(out["x"])),
+                          np.maximum(np.abs(g) - lam, 0.0)))
+    assert kkt <= 1e-7 * (1.0 + lam)
+    # duals: mu = A'r must sit in lam * subgradient(|x|)
+    np.testing.assert_allclose(out["mu"], A.T @ r, atol=1e-12)
+    np.testing.assert_allclose(out["y"], A @ out["x"], atol=1e-12)
+
+
+def test_cd_routed_from_solve_graph_native(native):
+    """solve_graph_native auto-routes lasso/elastic-net shapes to CD and
+    keeps the ADMM runtime for everything else."""
+    from pogs_tpu.api.graph import solve_elastic_net
+
+    A, b, lam = _lasso_problem(90, 50, seed=11)
+    f = FunctionVector(Function.SQUARE, 90, b=b)
+    g = FunctionVector(Function.ABS, 50, c=lam, e=0.7)
+    out = native.solve_graph_native(A, f, g, abs_tol=1e-7, rel_tol=1e-7)
+    assert out.get("algorithm") == "cd"
+    ref = solve_elastic_net(A, b, lam, 0.7, dtype=np.float64, abs_tol=1e-8,
+                            rel_tol=1e-8, max_iter=20000, backend="jax")
+    assert abs(out["optval"] - float(ref["optval"])) <= 1e-6 * (
+        1.0 + abs(float(ref["optval"])))
+    # huber f is NOT the CD shape: must fall back to the ADMM runtime
+    f2 = FunctionVector(Function.HUBER, 90, b=b)
+    out2 = native.solve_graph_native(A, f2, g, abs_tol=1e-5, rel_tol=1e-5)
+    assert "algorithm" not in out2
+
+
+def test_cd_per_coordinate_weights_and_warm_start(native):
+    A, b, lam = _lasso_problem(100, 40, seed=13)
+    rng = np.random.default_rng(13)
+    l1 = lam * rng.uniform(0.5, 1.5, 40)
+    out = native.lasso_cd(A, b, l1, settings=SolverSettings(abs_tol=1e-7))
+    assert out["status"] == Status.SUCCESS
+    r = b - A @ out["x"]
+    g = -A.T @ r
+    kkt = np.max(np.where(np.abs(out["x"]) > 0,
+                          np.abs(g + l1 * np.sign(out["x"])),
+                          np.maximum(np.abs(g) - l1, 0.0)))
+    assert kkt <= 1e-7 * (1.0 + l1.max())
+    # warm start from the solution: one confirmation sweep-batch only
+    out2 = native.lasso_cd(A, b, l1, settings=SolverSettings(abs_tol=1e-7),
+                           x0=out["x"])
+    assert out2["iterations"] <= 2
+    np.testing.assert_allclose(out2["x"], out["x"], atol=1e-10)
+
+
+def test_cd_zero_lambda_is_least_squares(native):
+    rng = np.random.default_rng(17)
+    A = rng.standard_normal((60, 20))
+    b = rng.standard_normal(60)
+    out = native.lasso_cd(A, b, 0.0,
+                          settings=SolverSettings(abs_tol=1e-9,
+                                                  max_iter=20000))
+    x_ls, *_ = np.linalg.lstsq(A, b, rcond=None)
+    np.testing.assert_allclose(out["x"], x_ls, atol=1e-6)
