@@ -156,6 +156,21 @@ def _bind(lib: ct.CDLL) -> ct.CDLL:
         _D, _D, _D, _D, ct.POINTER(PogsNativeInfo),
     ]
     lib.pogs_native_lasso_cd.restype = ct.c_int32
+    lib.pogs_native_ridge_direct.argtypes = [
+        ct.c_size_t, ct.c_size_t, _D, _D, _D, _D,
+        ct.POINTER(PogsNativeInfo),
+    ]
+    lib.pogs_native_ridge_direct.restype = ct.c_int32
+    lib.pogs_native_svm_dual_cd.argtypes = [
+        ct.c_size_t, ct.c_size_t, _D, _D, ct.c_double,
+        ct.POINTER(PogsNativeSettings), _D, ct.POINTER(PogsNativeInfo),
+    ]
+    lib.pogs_native_svm_dual_cd.restype = ct.c_int32
+    lib.pogs_native_logistic_pn.argtypes = [
+        ct.c_size_t, ct.c_size_t, _D, _D, _D,
+        ct.POINTER(PogsNativeSettings), _D, ct.POINTER(PogsNativeInfo),
+    ]
+    lib.pogs_native_logistic_pn.restype = ct.c_int32
     return lib
 
 
@@ -558,14 +573,145 @@ def lasso_cd(A, b, l1, l2=None, settings: Optional[SolverSettings] = None,
     }
 
 
+def _all_eq(v, want):
+    return np.all(np.asarray(v) == want)
+
+
+def _glm_shape(f: FunctionVector, g: FunctionVector):
+    """Classify ridge / hinge-SVM / l1-logistic shapes for the GLM fast
+    paths (src/native/glm.hpp).  Returns (kind, payload) or None."""
+    fh = np.asarray(f.h)
+    gh = np.asarray(g.h)
+    # ridge: ½‖y−b‖² + ½Σ(c+e) x²
+    if (np.all(fh == int(Function.SQUARE))
+            and np.all(gh == int(Function.SQUARE))
+            and all(_all_eq(v, w) for v, w in
+                    ((f.a, 1.0), (f.c, 1.0), (f.d, 0.0), (f.e, 0.0),
+                     (g.a, 1.0), (g.b, 0.0), (g.d, 0.0)))):
+        l2 = np.asarray(g.c, np.float64) + np.asarray(g.e, np.float64)
+        if np.all(l2 >= 0):
+            return ("ridge", (np.asarray(f.b, np.float64), l2))
+    # labels for the margin losses arrive as a = -y with y in {-1, +1}
+    y = -np.asarray(f.a, np.float64)
+    labels_ok = np.all(np.abs(y) == 1.0)
+    # svm: Σ max(0, 1−y a'x) + (λ/2)‖x‖²
+    if (np.all(fh == int(Function.MAXPOS0)) and labels_ok
+            and np.all(gh == int(Function.SQUARE))
+            and all(_all_eq(v, w) for v, w in
+                    ((f.b, -1.0), (f.c, 1.0), (f.d, 0.0), (f.e, 0.0),
+                     (g.a, 1.0), (g.b, 0.0), (g.d, 0.0), (g.e, 0.0)))):
+        lam = np.asarray(g.c, np.float64)
+        if lam.ndim == 0 or np.all(lam == lam.ravel()[0]):
+            lam0 = float(np.ravel(lam)[0]) if lam.ndim else float(lam)
+            if lam0 > 0:
+                return ("svm", (y, lam0))
+    # logistic: Σ log(1+exp(−y a'x)) + Σ l1|x|  (l1 may be 0 via ZERO g)
+    if (np.all(fh == int(Function.LOGISTIC)) and labels_ok
+            and all(_all_eq(v, w) for v, w in
+                    ((f.b, 0.0), (f.c, 1.0), (f.d, 0.0), (f.e, 0.0)))):
+        if (np.all(gh == int(Function.ABS))
+                and all(_all_eq(v, w) for v, w in
+                        ((g.a, 1.0), (g.b, 0.0), (g.d, 0.0), (g.e, 0.0)))):
+            l1 = np.asarray(g.c, np.float64)
+            if np.all(l1 >= 0):
+                return ("logistic", (y, l1))
+        if np.all(gh == int(Function.ZERO)):
+            return ("logistic", (y, np.zeros(1)))
+    return None
+
+
+def _glm_result(x, y_out, nu, A, optval, iters, status_code, kkt):
+    # Graph-form dual convention: nu = grad f(y) (or a subgradient),
+    # mu = -A'nu (in the subdifferential of g at the optimum).
+    return {
+        "x": x, "y": y_out, "mu": -(A.T @ nu), "l": nu,
+        "optval": float(optval), "iterations": int(iters),
+        "status": Status(int(status_code)),
+        "nrm_r": 0.0, "nrm_s": float(kkt), "rho": 0.0,
+    }
+
+
+def ridge_direct(A, b, l2) -> dict:
+    """Closed-form ridge: one Gram + Cholesky solve (min-dim dual form
+    for wide A with uniform l2) — src/native/glm.hpp."""
+    lib = _load()
+    A = np.ascontiguousarray(np.asarray(A, np.float64))
+    m, n = A.shape
+    b = np.ascontiguousarray(np.asarray(b, np.float64).ravel())
+    l2 = np.ascontiguousarray(np.broadcast_to(
+        np.asarray(l2, np.float64), (n,)))
+    x = np.empty(n)
+    info = PogsNativeInfo()
+    status = lib.pogs_native_ridge_direct(
+        m, n, A.ctypes.data_as(_D), b.ctypes.data_as(_D),
+        l2.ctypes.data_as(_D), x.ctypes.data_as(_D), ct.byref(info))
+    y_out = A @ x
+    out = _glm_result(x, y_out, y_out - b, A, info.optval,
+                      info.final_iter, status, info.nrm_s)
+    out["algorithm"] = "ridge_direct"
+    return out
+
+
+def svm_cd(A, y, lam, settings: Optional[SolverSettings] = None) -> dict:
+    """Hinge-loss SVM via liblinear-style dual coordinate descent
+    (src/native/glm.hpp)."""
+    lib = _load()
+    A = np.ascontiguousarray(np.asarray(A, np.float64))
+    m, n = A.shape
+    y = np.ascontiguousarray(np.asarray(y, np.float64).ravel())
+    settings = settings or SolverSettings()
+    st = _settings_struct(settings, False)
+    x = np.empty(n)
+    info = PogsNativeInfo()
+    status = lib.pogs_native_svm_dual_cd(
+        m, n, A.ctypes.data_as(_D), y.ctypes.data_as(_D), float(lam),
+        ct.byref(st), x.ctypes.data_as(_D), ct.byref(info))
+    z = A @ x
+    # hinge subgradient wrt z: -y on violated margins, 0 on satisfied
+    nu = np.where(y * z < 1.0, -y, 0.0)
+    out = _glm_result(x, z, nu, A, info.optval, info.final_iter, status,
+                      info.nrm_s)
+    out["algorithm"] = "svm_dual_cd"
+    return out
+
+
+def logistic_pn(A, y, l1, settings: Optional[SolverSettings] = None,
+                x0=None) -> dict:
+    """L1 logistic regression via glmnet-style prox-Newton
+    (src/native/glm.hpp): IRLS quadratic approximation, inner weighted
+    lasso through the CD kernel, damped on the true loss."""
+    lib = _load()
+    A = np.ascontiguousarray(np.asarray(A, np.float64))
+    m, n = A.shape
+    y = np.ascontiguousarray(np.asarray(y, np.float64).ravel())
+    l1 = np.ascontiguousarray(np.broadcast_to(
+        np.asarray(l1, np.float64), (n,)))
+    settings = settings or SolverSettings()
+    st = _settings_struct(settings, x0 is not None)
+    x = (np.zeros(n) if x0 is None
+         else np.ascontiguousarray(np.asarray(x0, np.float64)).copy())
+    info = PogsNativeInfo()
+    status = lib.pogs_native_logistic_pn(
+        m, n, A.ctypes.data_as(_D), y.ctypes.data_as(_D),
+        l1.ctypes.data_as(_D), ct.byref(st), x.ctypes.data_as(_D),
+        ct.byref(info))
+    z = A @ x
+    nu = -y / (1.0 + np.exp(y * z))  # gradient of the logistic loss
+    out = _glm_result(x, z, nu, A, info.optval, info.final_iter, status,
+                      info.nrm_s)
+    out["algorithm"] = "logistic_pn"
+    return out
+
+
 def solve_graph_native(A, f: FunctionVector, g: FunctionVector,
                        settings: Optional[SolverSettings] = None, **kw) -> dict:
     """One-shot native solve of min f(y) + g(x) s.t. y = Ax.
 
     Dense ndarray inputs use the direct projector; scipy-sparse inputs use
-    CGLS.  Lasso/elastic-net shapes take the coordinate-descent fast path
-    (:func:`lasso_cd`).  Accepts the same keyword tolerances as the
-    Python API.
+    CGLS.  Classic GLM shapes take specialized fast paths: lasso /
+    elastic net → coordinate descent (:func:`lasso_cd`), ridge → direct
+    Cholesky, hinge SVM → dual CD, l1-logistic → prox-Newton.  Accepts
+    the same keyword tolerances as the Python API.
     """
     if settings is None:
         settings = SolverSettings(**kw) if kw else SolverSettings()
@@ -574,6 +720,20 @@ def solve_graph_native(A, f: FunctionVector, g: FunctionVector,
         if shape is not None:
             b, l1, l2 = shape
             return lasso_cd(A, b, l1, l2, settings=settings)
+        glm = _glm_shape(f, g)
+        if glm is not None:
+            kind, payload = glm
+            if kind == "ridge":
+                out = ridge_direct(A, payload[0], payload[1])
+                # Singular normal equations (l2 = 0 with rank-deficient
+                # A'A): fall back to the ADMM runtime below.
+                if out["status"] != Status.ERROR:
+                    return out
+            elif kind == "svm":
+                return svm_cd(A, payload[0], payload[1], settings=settings)
+            else:
+                return logistic_pn(A, payload[0], payload[1],
+                                   settings=settings)
         solver = NativeDenseSolver(A)
     else:
         solver = NativeSparseSolver(A)

@@ -240,6 +240,29 @@ int32_t pogs_native_lasso_cd(
     const PogsNativeSettings* settings,
     double* x, double* y, double* mu, double* nu, PogsNativeInfo* info);
 
+
+/* ------------------------------------------------------------------ */
+/* Specialized GLM fast paths (see src/native/glm.hpp).                */
+/* ------------------------------------------------------------------ */
+
+/* Ridge, closed form: min 1/2||Ax-b||^2 + 1/2 sum_j l2[j] x_j^2.      */
+int32_t pogs_native_ridge_direct(
+    size_t m, size_t n, const double* A, const double* b, const double* l2,
+    double* x, PogsNativeInfo* info);
+
+/* Hinge-loss SVM via liblinear-style dual CD:                         */
+/*   min sum_i max(0, 1 - y[i] a_i'x) + (lambda/2)||x||^2.             */
+/* settings: abs_tol = projected-gradient stop, max_iter = epochs.     */
+int32_t pogs_native_svm_dual_cd(
+    size_t m, size_t n, const double* A, const double* y, double lambda,
+    const PogsNativeSettings* settings, double* x, PogsNativeInfo* info);
+
+/* L1 logistic regression via glmnet-style prox-Newton:                */
+/*   min sum_i log(1+exp(-y[i] a_i'x)) + sum_j l1[j]|x_j|.             */
+int32_t pogs_native_logistic_pn(
+    size_t m, size_t n, const double* A, const double* y, const double* l1,
+    const PogsNativeSettings* settings, double* x, PogsNativeInfo* info);
+
 #ifdef __cplusplus
 } /* extern "C" */
 #endif

@@ -16,6 +16,7 @@
 
 #include "admm.hpp"
 #include "cd.hpp"
+#include "glm.hpp"
 #include "cone.hpp"
 #include "qp_polish.hpp"
 #include "linalg.hpp"
@@ -893,6 +894,74 @@ extern "C" int32_t pogs_native_lasso_cd(
     info->optval = res.optval;
     info->final_iter = res.sweeps;
     info->status = res.converged ? 0 : 3; /* SUCCESS : MAX_ITER */
+    info->nrm_r = 0.0;
+    info->nrm_s = res.kkt;
+    info->gap = 0.0;
+    info->rho_final = 0.0;
+  }
+  return res.converged ? 0 : 3;
+}
+
+extern "C" int32_t pogs_native_ridge_direct(
+    size_t m, size_t n, const double* A, const double* b, const double* l2,
+    double* x, PogsNativeInfo* info) {
+  if (!A || !b || !l2 || !x) return POGS_NATIVE_ERROR;
+  pogs_native::GlmResult res =
+      pogs_native::ridge_direct(m, n, A, b, l2, x);
+  if (info) {
+    info->optval = res.optval;
+    info->final_iter = res.iters;
+    info->status = res.converged ? 0 : 5; /* SUCCESS : ERROR */
+    info->nrm_r = 0.0;
+    info->nrm_s = res.kkt;
+    info->gap = 0.0;
+    info->rho_final = 0.0;
+  }
+  return res.converged ? 0 : POGS_NATIVE_ERROR;
+}
+
+extern "C" int32_t pogs_native_svm_dual_cd(
+    size_t m, size_t n, const double* A, const double* y, double lambda,
+    const PogsNativeSettings* settings, double* x, PogsNativeInfo* info) {
+  if (!A || !y || !x || lambda <= 0.0) return POGS_NATIVE_ERROR;
+  PogsNativeSettings st;
+  if (settings) st = *settings;
+  else pogs_native_settings_default(&st);
+  // Projected-gradient threshold at 0.1x abs_tol: the dual pg-to-
+  // primal-objective gap amplifies roughly 10x on margin-heavy
+  // problems, so this keeps the default 1e-4 meaning ~1e-4 relative
+  // objective accuracy.
+  pogs_native::GlmResult res = pogs_native::svm_dual_cd(
+      m, n, A, y, lambda, 0.1 * st.abs_tol, st.max_iter, x);
+  if (info) {
+    info->optval = res.optval;
+    info->final_iter = res.iters;
+    info->status = res.converged ? 0 : 3; /* SUCCESS : MAX_ITER */
+    info->nrm_r = 0.0;
+    info->nrm_s = res.kkt;
+    info->gap = 0.0;
+    info->rho_final = 0.0;
+  }
+  return res.converged ? 0 : 3;
+}
+
+extern "C" int32_t pogs_native_logistic_pn(
+    size_t m, size_t n, const double* A, const double* y, const double* l1,
+    const PogsNativeSettings* settings, double* x, PogsNativeInfo* info) {
+  if (!A || !y || !l1 || !x) return POGS_NATIVE_ERROR;
+  PogsNativeSettings st;
+  if (settings) st = *settings;
+  else pogs_native_settings_default(&st);
+  if (!st.warm_start) std::memset(x, 0, n * sizeof(double));
+  double l1_max = 0.0;
+  for (size_t j = 0; j < n; ++j) l1_max = std::max(l1_max, l1[j]);
+  pogs_native::GlmResult res = pogs_native::logistic_prox_newton(
+      m, n, A, y, l1, st.abs_tol * (1.0 + l1_max),
+      /*max_newton=*/std::min(st.max_iter, 100), /*max_cd_sweeps=*/200, x);
+  if (info) {
+    info->optval = res.optval;
+    info->final_iter = res.iters;
+    info->status = res.converged ? 0 : 3;
     info->nrm_r = 0.0;
     info->nrm_s = res.kkt;
     info->gap = 0.0;

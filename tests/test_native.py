@@ -551,3 +551,103 @@ def test_cd_zero_lambda_is_least_squares(native):
                                                   max_iter=20000))
     x_ls, *_ = np.linalg.lstsq(A, b, rcond=None)
     np.testing.assert_allclose(out["x"], x_ls, atol=1e-6)
+
+
+# ---- GLM fast paths (src/native/glm.hpp) -----------------------------------
+
+def test_ridge_direct_closed_form(native):
+    rng = np.random.default_rng(21)
+    A = rng.standard_normal((80, 50))
+    b = rng.standard_normal(80)
+    lam = 0.7
+    f = FunctionVector(Function.SQUARE, 80, b=b)
+    g = FunctionVector(Function.SQUARE, 50, c=lam)
+    out = native.solve_graph_native(A, f, g)
+    assert out["algorithm"] == "ridge_direct"
+    x_exact = np.linalg.solve(A.T @ A + lam * np.eye(50), A.T @ b)
+    np.testing.assert_allclose(out["x"], x_exact, atol=1e-9)
+    # wide case goes through the m x m dual system
+    Aw = rng.standard_normal((30, 90))
+    bw = rng.standard_normal(30)
+    fw = FunctionVector(Function.SQUARE, 30, b=bw)
+    gw = FunctionVector(Function.SQUARE, 90, c=lam)
+    ow = native.solve_graph_native(Aw, fw, gw)
+    xw = np.linalg.solve(Aw.T @ Aw + lam * np.eye(90), Aw.T @ bw)
+    np.testing.assert_allclose(ow["x"], xw, atol=1e-9)
+    # per-coordinate l2 via c + e
+    l2 = rng.uniform(0.2, 2.0, 50)
+    g2 = FunctionVector(Function.SQUARE, 50, c=l2 * 0.25, e=l2 * 0.75)
+    o2 = native.solve_graph_native(A, f, g2)
+    x2 = np.linalg.solve(A.T @ A + np.diag(l2), A.T @ b)
+    np.testing.assert_allclose(o2["x"], x2, atol=1e-9)
+
+
+def test_svm_dual_cd_vs_admm(native):
+    from pogs_tpu.api.graph import solve_svm
+
+    rng = np.random.default_rng(23)
+    m, n = 120, 40
+    A = rng.standard_normal((m, n))
+    y = np.sign(A @ rng.standard_normal(n) + 0.1 * rng.standard_normal(m))
+    lam = 1.0
+    f = FunctionVector(Function.MAXPOS0, m, a=-y, b=-1.0)
+    g = FunctionVector(Function.SQUARE, n, c=lam)
+    out = native.solve_graph_native(A, f, g, abs_tol=1e-6, max_iter=20000)
+    assert out["algorithm"] == "svm_dual_cd"
+    ref = solve_svm(A, y, lam, dtype=np.float64, abs_tol=1e-7, rel_tol=1e-7,
+                    max_iter=40000, backend="jax")
+
+    def obj(x):
+        return (np.maximum(0.0, 1.0 - y * (A @ x)).sum()
+                + 0.5 * lam * x @ x)
+
+    assert obj(out["x"]) <= obj(np.asarray(ref["x"])) + 1e-4 * (
+        1.0 + abs(obj(np.asarray(ref["x"]))))
+
+
+def test_logistic_pn_vs_admm(native):
+    from pogs_tpu.api.graph import solve_logistic
+
+    rng = np.random.default_rng(27)
+    m, n = 150, 40
+    A = rng.standard_normal((m, n))
+    y = np.sign(A @ rng.standard_normal(n) + 0.5 * rng.standard_normal(m))
+    lam = 0.01 * np.max(np.abs(A.T @ y))
+    f = FunctionVector(Function.LOGISTIC, m, a=-y)
+    g = FunctionVector(Function.ABS, n, c=lam)
+    out = native.solve_graph_native(A, f, g, abs_tol=1e-7, max_iter=200)
+    assert out["algorithm"] == "logistic_pn"
+    assert out["status"] == Status.SUCCESS
+    ref = solve_logistic(A, y, lam, dtype=np.float64, abs_tol=1e-7,
+                         rel_tol=1e-7, max_iter=40000, backend="jax")
+
+    def obj(x):
+        return (np.logaddexp(0.0, -y * (A @ x)).sum()
+                + lam * np.abs(x).sum())
+
+    assert obj(out["x"]) <= obj(np.asarray(ref["x"])) + 1e-5 * (
+        1.0 + abs(obj(np.asarray(ref["x"]))))
+    # true-problem subgradient KKT at the returned point
+    mu_s = 1.0 / (1.0 + np.exp(y * (A @ out["x"])))
+    grad = -A.T @ (y * mu_s)
+    kkt = np.max(np.where(np.abs(out["x"]) > 0,
+                          np.abs(grad + lam * np.sign(out["x"])),
+                          np.maximum(np.abs(grad) - lam, 0.0)))
+    assert kkt <= 1e-6 * (1.0 + lam)
+
+
+def test_glm_shapes_not_misrouted(native):
+    """Objectives NEAR but not exactly the GLM shapes must keep ADMM."""
+    rng = np.random.default_rng(29)
+    A = rng.standard_normal((40, 20))
+    b = rng.standard_normal(40)
+    # ridge-like but with an f offset d: not the ridge shape
+    f = FunctionVector(Function.SQUARE, 40, b=b, d=0.1)
+    g = FunctionVector(Function.SQUARE, 20, c=1.0)
+    out = native.solve_graph_native(A, f, g, abs_tol=1e-5, rel_tol=1e-5)
+    assert "algorithm" not in out
+    # logistic with non-unit labels: not the fast-path shape
+    f2 = FunctionVector(Function.LOGISTIC, 40, a=-2.0 * np.ones(40))
+    g2 = FunctionVector(Function.ABS, 20, c=0.5)
+    out2 = native.solve_graph_native(A, f2, g2, abs_tol=1e-4, rel_tol=1e-4)
+    assert "algorithm" not in out2
