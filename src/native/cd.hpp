@@ -36,34 +36,35 @@ struct CdResult {
   bool converged = false;
 };
 
-// A_rm is row-major (m x n).  x must hold the start point (zeros for a
-// cold solve; a previous solution for warm starts) and receives the
-// result.  r_out (size m), if non-null, receives the final residual
-// b - A x (callers derive y/duals from it without another gemv).
-inline CdResult cd_elastic_net(size_t m, size_t n, const double* A_rm,
-                               const double* b, const double* l1,
-                               const double* l2, double tol_move,
-                               double tol_kkt, int max_sweeps, double* x,
-                               double* r_out) {
+inline std::vector<double> cd_colmajor(size_t m, size_t n,
+                                       const double* A_rm) {
   // Column-major copy: the j-loop needs unit-stride columns for the
-  // multi-accumulator dot to vectorize.
+  // multi-accumulator dot to vectorize.  Built once per matrix; the
+  // weighted core reuses it across prox-Newton iterations.
   std::vector<double> Ac(m * n);
   for (size_t i = 0; i < m; ++i)
     for (size_t j = 0; j < n; ++j) Ac[j * m + i] = A_rm[i * n + j];
+  return Ac;
+}
 
+// Core cyclic CD on a PREBUILT column-major matrix for
+//   min (1/2)||A x - b||^2 + sum_j l1_j|x_j| + (l2_j/2)x_j^2.
+// Callers with row weights (the logistic prox-Newton) scale sqrt(w)
+// into the matrix/rhs once per outer iteration instead: a bandwidth-
+// bound rescale pass measured cheaper than weighted three-stream dots
+// in every sweep.  x holds the start point and receives the result;
+// r_out, if non-null, receives b - A x.
+inline CdResult cd_core(size_t m, size_t n, const double* Ac,
+                        const double* b, const double* l1,
+                        const double* l2, double tol_move, double tol_kkt,
+                        int max_sweeps, double* x, double* r_out) {
   std::vector<double> r(b, b + m);  // r = b - A x
-  bool x_zero = true;
   for (size_t j = 0; j < n; ++j)
-    if (x[j] != 0.0) {
-      x_zero = false;
-      break;
-    }
-  if (!x_zero)
-    for (size_t j = 0; j < n; ++j)
-      if (x[j] != 0.0) axpy(m, -x[j], &Ac[j * m], r.data());
+    if (x[j] != 0.0) axpy(m, -x[j], &Ac[j * m], r.data());
 
   std::vector<double> col_sq(n);
-  for (size_t j = 0; j < n; ++j) col_sq[j] = dot(m, &Ac[j * m], &Ac[j * m]);
+  for (size_t j = 0; j < n; ++j)
+    col_sq[j] = dot(m, &Ac[j * m], &Ac[j * m]);
 
   CdResult res;
   auto kkt_residual = [&]() {
@@ -133,6 +134,20 @@ inline CdResult cd_elastic_net(size_t m, size_t n, const double* A_rm,
   if (r_out)
     for (size_t i = 0; i < m; ++i) r_out[i] = r[i];
   return res;
+}
+
+// A_rm is row-major (m x n).  x must hold the start point (zeros for a
+// cold solve; a previous solution for warm starts) and receives the
+// result.  r_out (size m), if non-null, receives the final residual
+// b - A x (callers derive y/duals from it without another gemv).
+inline CdResult cd_elastic_net(size_t m, size_t n, const double* A_rm,
+                               const double* b, const double* l1,
+                               const double* l2, double tol_move,
+                               double tol_kkt, int max_sweeps, double* x,
+                               double* r_out) {
+  std::vector<double> Ac = cd_colmajor(m, n, A_rm);
+  return cd_core(m, n, Ac.data(), b, l1, l2, tol_move, tol_kkt,
+                 max_sweeps, x, r_out);
 }
 
 }  // namespace pogs_native

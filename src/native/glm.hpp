@@ -163,7 +163,13 @@ inline GlmResult logistic_prox_newton(size_t m, size_t n, const double* A,
                                       double tol, int max_newton,
                                       int max_cd_sweeps, double* x) {
   GlmResult res;
-  std::vector<double> z(m), mu(m), w(m), Aw(m * n), bw(m), dx(n, 0.0);
+  std::vector<double> z(m), mu(m), w(m), sw(m), bw(m);
+  // Column-major copy built ONCE; each Newton iteration scales it by
+  // sqrt(w) into a reused buffer so the inner CD runs the cheap
+  // unweighted core (weighted three-stream dots measured ~40% slower
+  // per sweep than one bandwidth-bound rescale pass).
+  std::vector<double> Ac = cd_colmajor(m, n, A);
+  std::vector<double> Acw(m * n);
   double l1_max = 0.0;
   for (size_t j = 0; j < n; ++j) l1_max = std::max(l1_max, l1[j]);
   gemv(m, n, A, x, z.data());
@@ -206,17 +212,18 @@ inline GlmResult logistic_prox_newton(size_t m, size_t n, const double* A,
     // Weighted lasso subproblem: min 1/2||W^(1/2)(A x' - t)||^2 + l1|x'|
     // with t_i = z_i + y_i mu_i / w_i, solved warm-started at x.
     for (size_t i = 0; i < m; ++i) {
-      const double sw = std::sqrt(w[i]);
-      const double t = z[i] + y[i] * mu[i] / w[i];
-      bw[i] = sw * t;
-      const double* row = A + i * n;
-      double* out = Aw.data() + i * n;
-      for (size_t j = 0; j < n; ++j) out[j] = sw * row[j];
+      sw[i] = std::sqrt(w[i]);
+      bw[i] = sw[i] * (z[i] + y[i] * mu[i] / w[i]);
+    }
+    for (size_t j = 0; j < n; ++j) {
+      const double* src = &Ac[j * m];
+      double* dst = &Acw[j * m];
+      for (size_t i = 0; i < m; ++i) dst[i] = sw[i] * src[i];
     }
     std::vector<double> x_new(x, x + n), l2z(n, 0.0);
-    cd_elastic_net(m, n, Aw.data(), bw.data(), l1, l2z.data(),
-                   /*tol_move=*/1e-6, /*tol_kkt=*/0.1 * tol * (1.0 + l1_max),
-                   max_cd_sweeps, x_new.data(), nullptr);
+    cd_core(m, n, Acw.data(), bw.data(), l1, l2z.data(),
+            /*tol_move=*/1e-6, /*tol_kkt=*/0.1 * tol * (1.0 + l1_max),
+            max_cd_sweeps, x_new.data(), nullptr);
     // Damped acceptance on the true objective.
     const double f_cur = loss + l1_term();
     double step = 1.0;
