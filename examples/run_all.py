@@ -6,7 +6,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 MODULES = ["lasso", "lasso_path", "logistic", "lp", "maros_qp", "qp", "nonneg_ls", "svm",
            "quantile_regression", "huber_fit", "sdp", "portfolio",
            "lasso_path_batched", "native_runtime", "mpc_scenarios",
-           "hyperparam_opt", "optnet_qp"]
+           "hyperparam_opt", "optnet_qp", "huge_qp"]
 
 for name in MODULES:
     mod = importlib.import_module(name)

@@ -171,6 +171,11 @@ def _bind(lib: ct.CDLL) -> ct.CDLL:
         ct.POINTER(PogsNativeSettings), _D, ct.POINTER(PogsNativeInfo),
     ]
     lib.pogs_native_logistic_pn.restype = ct.c_int32
+    lib.pogs_native_huber_irls.argtypes = [
+        ct.c_size_t, ct.c_size_t, _D, _D, ct.c_double, _D,
+        ct.POINTER(PogsNativeSettings), _D, ct.POINTER(PogsNativeInfo),
+    ]
+    lib.pogs_native_huber_irls.restype = ct.c_int32
     return lib
 
 
@@ -609,14 +614,36 @@ def _glm_shape(f: FunctionVector, g: FunctionVector):
     if (np.all(fh == int(Function.LOGISTIC)) and labels_ok
             and all(_all_eq(v, w) for v, w in
                     ((f.b, 0.0), (f.c, 1.0), (f.d, 0.0), (f.e, 0.0)))):
-        if (np.all(gh == int(Function.ABS))
-                and all(_all_eq(v, w) for v, w in
-                        ((g.a, 1.0), (g.b, 0.0), (g.d, 0.0), (g.e, 0.0)))):
-            l1 = np.asarray(g.c, np.float64)
-            if np.all(l1 >= 0):
-                return ("logistic", (y, l1))
-        if np.all(gh == int(Function.ZERO)):
-            return ("logistic", (y, np.zeros(1)))
+        l1 = _l1_or_none(g, gh)
+        if l1 is not None:
+            return ("logistic", (y, l1))
+    # huber: Σ huber_δ(a'x − b) + Σ l1|x|, encoded a=1/δ, b=b/δ, c=δ²
+    # (api/graph.py::solve_huber)
+    if (np.all(fh == int(Function.HUBER))
+            and all(_all_eq(v, w) for v, w in ((f.d, 0.0), (f.e, 0.0)))):
+        fa = np.asarray(f.a, np.float64)
+        fc = np.asarray(f.c, np.float64)
+        a0 = float(np.ravel(fa)[0]) if fa.ndim else float(fa)
+        if (a0 > 0 and np.all(fa == a0)
+                and np.allclose(fc * a0 * a0, 1.0, rtol=1e-12, atol=0)):
+            l1 = _l1_or_none(g, gh)
+            if l1 is not None:
+                b_orig = np.asarray(f.b, np.float64) / a0
+                return ("huber", (b_orig, 1.0 / a0, l1))
+    return None
+
+
+def _l1_or_none(g: FunctionVector, gh):
+    """λ‖x‖₁ coefficients when g is ABS (or zeros when g is ZERO)."""
+    if (np.all(gh == int(Function.ABS))
+            and all(_all_eq(v, w) for v, w in
+                    ((g.a, 1.0), (g.b, 0.0), (g.d, 0.0), (g.e, 0.0)))):
+        l1 = np.asarray(g.c, np.float64)
+        if np.all(l1 >= 0):
+            return l1
+        return None
+    if np.all(gh == int(Function.ZERO)):
+        return np.zeros(1)
     return None
 
 
@@ -703,6 +730,34 @@ def logistic_pn(A, y, l1, settings: Optional[SolverSettings] = None,
     return out
 
 
+def huber_irls(A, b, delta, l1,
+               settings: Optional[SolverSettings] = None, x0=None) -> dict:
+    """Huber regression (+ optional l1) via IRLS / majorize-minimize
+    (src/native/glm.hpp): each step solves a reweighted lasso through
+    the CD core; monotone decrease, no line search."""
+    lib = _load()
+    A = np.ascontiguousarray(np.asarray(A, np.float64))
+    m, n = A.shape
+    b = np.ascontiguousarray(np.asarray(b, np.float64).ravel())
+    l1 = np.ascontiguousarray(np.broadcast_to(
+        np.asarray(l1, np.float64), (n,)))
+    settings = settings or SolverSettings()
+    st = _settings_struct(settings, x0 is not None)
+    x = (np.zeros(n) if x0 is None
+         else np.ascontiguousarray(np.asarray(x0, np.float64)).copy())
+    info = PogsNativeInfo()
+    status = lib.pogs_native_huber_irls(
+        m, n, A.ctypes.data_as(_D), b.ctypes.data_as(_D), float(delta),
+        l1.ctypes.data_as(_D), ct.byref(st), x.ctypes.data_as(_D),
+        ct.byref(info))
+    z = A @ x
+    nu = np.clip(z - b, -float(delta), float(delta))  # huber' at residual
+    out = _glm_result(x, z, nu, A, info.optval, info.final_iter, status,
+                      info.nrm_s)
+    out["algorithm"] = "huber_irls"
+    return out
+
+
 def solve_graph_native(A, f: FunctionVector, g: FunctionVector,
                        settings: Optional[SolverSettings] = None, **kw) -> dict:
     """One-shot native solve of min f(y) + g(x) s.t. y = Ax.
@@ -731,6 +786,9 @@ def solve_graph_native(A, f: FunctionVector, g: FunctionVector,
                     return out
             elif kind == "svm":
                 return svm_cd(A, payload[0], payload[1], settings=settings)
+            elif kind == "huber":
+                return huber_irls(A, payload[0], payload[1], payload[2],
+                                  settings=settings)
             else:
                 return logistic_pn(A, payload[0], payload[1],
                                    settings=settings)

@@ -263,6 +263,13 @@ int32_t pogs_native_logistic_pn(
     size_t m, size_t n, const double* A, const double* y, const double* l1,
     const PogsNativeSettings* settings, double* x, PogsNativeInfo* info);
 
+/* Huber regression (+ optional l1) via IRLS / majorize-minimize:      */
+/*   min sum_i huber_delta(a_i'x - b[i]) + sum_j l1[j]|x_j|.           */
+int32_t pogs_native_huber_irls(
+    size_t m, size_t n, const double* A, const double* b, double delta,
+    const double* l1, const PogsNativeSettings* settings, double* x,
+    PogsNativeInfo* info);
+
 #ifdef __cplusplus
 } /* extern "C" */
 #endif

@@ -969,3 +969,30 @@ extern "C" int32_t pogs_native_logistic_pn(
   }
   return res.converged ? 0 : 3;
 }
+
+extern "C" int32_t pogs_native_huber_irls(
+    size_t m, size_t n, const double* A, const double* b, double delta,
+    const double* l1, const PogsNativeSettings* settings, double* x,
+    PogsNativeInfo* info) {
+  if (!A || !b || !l1 || !x || delta <= 0.0) return POGS_NATIVE_ERROR;
+  PogsNativeSettings st;
+  if (settings) st = *settings;
+  else pogs_native_settings_default(&st);
+  if (!st.warm_start) std::memset(x, 0, n * sizeof(double));
+  double l1_max = 0.0;
+  for (size_t j = 0; j < n; ++j) l1_max = std::max(l1_max, l1[j]);
+  pogs_native::GlmResult res = pogs_native::huber_irls(
+      m, n, A, b, delta, l1,
+      st.abs_tol * (1.0 + std::max(l1_max, delta)),
+      /*max_irls=*/std::min(st.max_iter, 200), /*max_cd_sweeps=*/200, x);
+  if (info) {
+    info->optval = res.optval;
+    info->final_iter = res.iters;
+    info->status = res.converged ? 0 : 3;
+    info->nrm_r = 0.0;
+    info->nrm_s = res.kkt;
+    info->gap = 0.0;
+    info->rho_final = 0.0;
+  }
+  return res.converged ? 0 : 3;
+}

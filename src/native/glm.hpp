@@ -145,6 +145,75 @@ inline GlmResult svm_dual_cd(size_t m, size_t n, const double* A,
 }
 
 // ---------------------------------------------------------------------------
+// Huber regression (+ optional l1): IRLS / majorize-minimize.
+// ---------------------------------------------------------------------------
+
+inline GlmResult huber_irls(size_t m, size_t n, const double* A,
+                            const double* b, double delta, const double* l1,
+                            double tol, int max_irls, int max_cd_sweeps,
+                            double* x) {
+  // min sum_i huber_delta(a_i'x - b_i) + sum_j l1_j|x_j|.
+  // The standard MM bound: at residual r0, (w/2)(r - r0)^2 + ... with
+  // w = 1 (|r0| <= delta) else delta/|r0| majorizes huber, so each
+  // weighted-lasso subproblem (solved by the CD core on a sqrt(w)-scaled
+  // copy) monotonically decreases the true objective — no line search.
+  GlmResult res;
+  std::vector<double> Ac = cd_colmajor(m, n, A);
+  std::vector<double> Acw(m * n), bw(m), r(m);
+  double l1_max = 0.0;
+  for (size_t j = 0; j < n; ++j) l1_max = std::max(l1_max, l1[j]);
+  gemv(m, n, A, x, r.data());
+  for (size_t i = 0; i < m; ++i) r[i] -= b[i];
+  for (res.iters = 1; res.iters <= max_irls; ++res.iters) {
+    // True-problem KKT: grad = A' psi(r), psi = clip(r, +-delta).
+    {
+      std::vector<double> psi(m), g(n);
+      for (size_t i = 0; i < m; ++i)
+        psi[i] = std::min(delta, std::max(-delta, r[i]));
+      gemv_t(m, n, A, psi.data(), g.data());
+      double kkt = 0.0;
+      for (size_t j = 0; j < n; ++j) {
+        double v;
+        if (x[j] > 0.0)
+          v = std::fabs(g[j] + l1[j]);
+        else if (x[j] < 0.0)
+          v = std::fabs(g[j] - l1[j]);
+        else
+          v = std::max(std::fabs(g[j]) - l1[j], 0.0);
+        kkt = std::max(kkt, v);
+      }
+      res.kkt = kkt;
+      if (kkt <= tol) {
+        res.converged = true;
+        break;
+      }
+    }
+    for (size_t i = 0; i < m; ++i) {
+      const double ar = std::fabs(r[i]);
+      const double sw = std::sqrt(ar <= delta ? 1.0 : delta / ar);
+      bw[i] = sw * b[i];
+      for (size_t j = 0; j < n; ++j) Acw[j * m + i] = sw * Ac[j * m + i];
+    }
+    std::vector<double> l2z(n, 0.0);
+    cd_core(m, n, Acw.data(), bw.data(), l1, l2z.data(),
+            /*tol_move=*/1e-6, /*tol_kkt=*/0.1 * tol, max_cd_sweeps, x,
+            nullptr);
+    gemv(m, n, A, x, r.data());
+    for (size_t i = 0; i < m; ++i) r[i] -= b[i];
+  }
+  if (res.iters > max_irls) res.iters = max_irls;
+  double loss = 0.0;
+  for (size_t i = 0; i < m; ++i) {
+    const double ar = std::fabs(r[i]);
+    loss += (ar <= delta) ? 0.5 * r[i] * r[i]
+                          : delta * ar - 0.5 * delta * delta;
+  }
+  for (size_t j = 0; j < n; ++j) loss += l1[j] * std::fabs(x[j]);
+  res.optval = loss;
+  return res;
+}
+
+// ---------------------------------------------------------------------------
 // L1-regularized logistic regression: prox-Newton (glmnet scheme).
 // ---------------------------------------------------------------------------
 

@@ -651,3 +651,55 @@ def test_glm_shapes_not_misrouted(native):
     g2 = FunctionVector(Function.ABS, 20, c=0.5)
     out2 = native.solve_graph_native(A, f2, g2, abs_tol=1e-4, rel_tol=1e-4)
     assert "algorithm" not in out2
+
+
+def test_huber_irls_vs_admm(native):
+    from pogs_tpu.api.graph import solve_huber
+
+    rng = np.random.default_rng(31)
+    m, n = 140, 40
+    A = rng.standard_normal((m, n))
+    x_true = rng.standard_normal(n)
+    b = A @ x_true + 0.1 * rng.standard_normal(m)
+    b[rng.random(m) < 0.05] += 8.0  # outliers: where huber earns its keep
+    delta = 1.0
+    lam = 0.3
+    f = FunctionVector(Function.HUBER, m, a=1.0 / delta, b=b / delta,
+                       c=delta * delta)
+    g = FunctionVector(Function.ABS, n, c=lam)
+    out = native.solve_graph_native(A, f, g, abs_tol=1e-7, max_iter=2000)
+    assert out["algorithm"] == "huber_irls"
+    assert out["status"] == Status.SUCCESS
+    ref = solve_huber(A, b, delta=delta, lambd=lam, dtype=np.float64,
+                      abs_tol=1e-7, rel_tol=1e-7, max_iter=40000,
+                      backend="jax")
+
+    def obj(x):
+        r = A @ x - b
+        h = np.where(np.abs(r) <= delta, 0.5 * r * r,
+                     delta * np.abs(r) - 0.5 * delta * delta)
+        return h.sum() + lam * np.abs(x).sum()
+
+    assert obj(out["x"]) <= obj(np.asarray(ref["x"])) + 1e-5 * (
+        1.0 + abs(obj(np.asarray(ref["x"]))))
+    # plain huber fit (no l1, ZERO g) also routes and converges
+    g0 = FunctionVector(Function.ZERO, n)
+    out0 = native.solve_graph_native(A, f, g0, abs_tol=1e-7, max_iter=2000)
+    assert out0["algorithm"] == "huber_irls"
+    assert out0["status"] == Status.SUCCESS
+    # non-default delta consistency: delta=0.4 against scipy's huber
+    from scipy.optimize import minimize as _mini
+
+    d2 = 0.4
+    f2 = FunctionVector(Function.HUBER, m, a=1.0 / d2, b=b / d2, c=d2 * d2)
+    out2 = native.solve_graph_native(A, f2, g0, abs_tol=1e-8, max_iter=2000)
+
+    def obj2(x):
+        r = A @ x - b
+        h = np.where(np.abs(r) <= d2, 0.5 * r * r,
+                     d2 * np.abs(r) - 0.5 * d2 * d2)
+        return h.sum()
+
+    sci = _mini(obj2, np.zeros(n), method="L-BFGS-B",
+                options={"maxiter": 2000, "ftol": 1e-14})
+    assert obj2(out2["x"]) <= sci.fun + 1e-5 * (1.0 + abs(sci.fun))
