@@ -176,6 +176,11 @@ def _bind(lib: ct.CDLL) -> ct.CDLL:
         ct.POINTER(PogsNativeSettings), _D, ct.POINTER(PogsNativeInfo),
     ]
     lib.pogs_native_huber_irls.restype = ct.c_int32
+    lib.pogs_native_nnls.argtypes = [
+        ct.c_size_t, ct.c_size_t, _D, _D,
+        ct.POINTER(PogsNativeSettings), _D, ct.POINTER(PogsNativeInfo),
+    ]
+    lib.pogs_native_nnls.restype = ct.c_int32
     return lib
 
 
@@ -617,6 +622,15 @@ def _glm_shape(f: FunctionVector, g: FunctionVector):
         l1 = _l1_or_none(g, gh)
         if l1 is not None:
             return ("logistic", (y, l1))
+    # nnls: ½‖y−b‖² with x ≥ 0 (g = INDGE0); active-set via the native
+    # PDAS needs the dense normal equations, so cap n.
+    if (np.all(fh == int(Function.SQUARE))
+            and np.all(gh == int(Function.INDGE0))
+            and np.asarray(g.h).shape[0] <= 2000
+            and all(_all_eq(v, w) for v, w in
+                    ((f.a, 1.0), (f.c, 1.0), (f.d, 0.0), (f.e, 0.0),
+                     (g.a, 1.0), (g.b, 0.0), (g.d, 0.0), (g.e, 0.0)))):
+        return ("nnls", (np.asarray(f.b, np.float64),))
     # huber: Σ huber_δ(a'x − b) + Σ l1|x|, encoded a=1/δ, b=b/δ, c=δ²
     # (api/graph.py::solve_huber)
     if (np.all(fh == int(Function.HUBER))
@@ -730,6 +744,28 @@ def logistic_pn(A, y, l1, settings: Optional[SolverSettings] = None,
     return out
 
 
+def nnls(A, b, settings: Optional[SolverSettings] = None) -> dict:
+    """Nonnegative least squares via active-set on the normal equations
+    (src/native/glm.hpp).  Raises nothing on rejection — returns status
+    ERROR so the caller (solve_graph_native) can fall back to ADMM."""
+    lib = _load()
+    A = np.ascontiguousarray(np.asarray(A, np.float64))
+    m, n = A.shape
+    b = np.ascontiguousarray(np.asarray(b, np.float64).ravel())
+    settings = settings or SolverSettings()
+    st = _settings_struct(settings, False)
+    x = np.zeros(n)
+    info = PogsNativeInfo()
+    status = lib.pogs_native_nnls(
+        m, n, A.ctypes.data_as(_D), b.ctypes.data_as(_D), ct.byref(st),
+        x.ctypes.data_as(_D), ct.byref(info))
+    y_out = A @ x
+    out = _glm_result(x, y_out, y_out - b, A, info.optval,
+                      info.final_iter, status, info.nrm_s)
+    out["algorithm"] = "nnls_pdas"
+    return out
+
+
 def huber_irls(A, b, delta, l1,
                settings: Optional[SolverSettings] = None, x0=None) -> dict:
     """Huber regression (+ optional l1) via IRLS / majorize-minimize
@@ -789,6 +825,15 @@ def solve_graph_native(A, f: FunctionVector, g: FunctionVector,
             elif kind == "huber":
                 return huber_irls(A, payload[0], payload[1], payload[2],
                                   settings=settings)
+            elif kind == "nnls":
+                # The exact active-set costs several dense factorizations;
+                # the ADMM loop is faster at benchmark tolerances.  Route
+                # to PDAS only when the caller asks for accuracy ADMM
+                # cannot reach; rejection falls back to ADMM either way.
+                if settings.abs_tol <= 1e-7:
+                    out = nnls(A, payload[0], settings=settings)
+                    if out["status"] != Status.ERROR:
+                        return out
             else:
                 return logistic_pn(A, payload[0], payload[1],
                                    settings=settings)

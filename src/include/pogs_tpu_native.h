@@ -270,6 +270,13 @@ int32_t pogs_native_huber_irls(
     const double* l1, const PogsNativeSettings* settings, double* x,
     PogsNativeInfo* info);
 
+/* Nonnegative least squares via active-set on the normal equations:   */
+/*   min 1/2||Ax - b||^2  s.t.  x >= 0.  Returns ERROR when the        */
+/* active-set solve is rejected (caller falls back to ADMM).           */
+int32_t pogs_native_nnls(
+    size_t m, size_t n, const double* A, const double* b,
+    const PogsNativeSettings* settings, double* x, PogsNativeInfo* info);
+
 #ifdef __cplusplus
 } /* extern "C" */
 #endif

@@ -996,3 +996,24 @@ extern "C" int32_t pogs_native_huber_irls(
   }
   return res.converged ? 0 : 3;
 }
+
+extern "C" int32_t pogs_native_nnls(
+    size_t m, size_t n, const double* A, const double* b,
+    const PogsNativeSettings* settings, double* x, PogsNativeInfo* info) {
+  if (!A || !b || !x) return POGS_NATIVE_ERROR;
+  PogsNativeSettings st;
+  if (settings) st = *settings;
+  else pogs_native_settings_default(&st);
+  pogs_native::GlmResult res =
+      pogs_native::nnls_pdas(m, n, A, b, st.abs_tol, x);
+  if (info) {
+    info->optval = res.optval;
+    info->final_iter = res.iters;
+    info->status = res.converged ? 0 : 5; /* falls back on !converged */
+    info->nrm_r = 0.0;
+    info->nrm_s = res.kkt;
+    info->gap = 0.0;
+    info->rho_final = 0.0;
+  }
+  return res.converged ? 0 : POGS_NATIVE_ERROR;
+}

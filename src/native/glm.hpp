@@ -29,6 +29,7 @@
 
 #include "cd.hpp"
 #include "linalg.hpp"
+#include "qp_polish.hpp"
 
 namespace pogs_native {
 
@@ -316,4 +317,58 @@ inline GlmResult logistic_prox_newton(size_t m, size_t n, const double* A,
   return res;
 }
 
+
+// ---------------------------------------------------------------------------
+// Nonnegative least squares: active-set (PDAS) on the normal equations.
+// ---------------------------------------------------------------------------
+
+inline GlmResult nnls_pdas(size_t m, size_t n, const double* A,
+                                const double* b, double tol, double* x) {
+  //   min 1/2||Ax - b||^2  s.t.  x >= 0
+  // as the box QP  min 1/2 x'Px + c'x, P = A'A, c = -A'b, with the
+  // nonnegativity rows fed to the shared PDAS machinery (qp_polish.hpp)
+  // seeded at the clipped regularized least-squares solution.  The
+  // classic Lawson-Hanson active set, in the codebase's own terms.
+  GlmResult res;
+  std::vector<double> P(n * n), c(n);
+  gram(m, n, A, /*trans=*/true, P.data());
+  gemv_t(m, n, A, b, c.data());
+  for (size_t j = 0; j < n; ++j) c[j] = -c[j];
+  // Seed: (P + dI)x = -c, clipped at zero.
+  std::vector<double> K(P), seed(n);
+  double dmax = 0.0;
+  for (size_t j = 0; j < n; ++j) dmax = std::max(dmax, K[j * n + j]);
+  for (size_t j = 0; j < n; ++j) K[j * n + j] += 1e-10 * (1.0 + dmax);
+  if (!cholesky(n, K.data())) return res;
+  std::vector<double> rhs(n);
+  for (size_t j = 0; j < n; ++j) rhs[j] = -c[j];
+  cholesky_solve(n, K.data(), rhs.data(), seed.data());
+  for (size_t j = 0; j < n; ++j) seed[j] = std::max(seed[j], 0.0);
+  // Constraint rows: b_qp - (-I)x = x >= 0 (NonNeg kind = +1).
+  std::vector<double> Aq(n * n, 0.0), bq(n, 0.0), lam0(n, 0.0);
+  for (size_t j = 0; j < n; ++j) Aq[j * n + j] = -1.0;
+  std::vector<std::int8_t> kind(n, 1);
+  std::vector<double> x_out, lam_out;
+  QpKktResiduals rr;
+  if (!qp_active_set_polish(n, n, P.data(), c.data(), Aq.data(), bq.data(),
+                            kind, seed.data(), lam0.data(), tol, x_out,
+                            lam_out, rr)) {
+    return res;  // caller falls back to the ADMM runtime
+  }
+  std::copy(x_out.begin(), x_out.end(), x);
+  std::vector<double> r(m);
+  gemv(m, n, A, x, r.data());
+  double fit = 0.0;
+  for (size_t i = 0; i < m; ++i) {
+    r[i] = b[i] - r[i];
+    fit += r[i] * r[i];
+  }
+  res.optval = 0.5 * fit;
+  res.kkt = rr.score();
+  res.iters = 1;
+  res.converged = true;
+  return res;
+}
+
 }  // namespace pogs_native
+

@@ -703,3 +703,26 @@ def test_huber_irls_vs_admm(native):
     sci = _mini(obj2, np.zeros(n), method="L-BFGS-B",
                 options={"maxiter": 2000, "ftol": 1e-14})
     assert obj2(out2["x"]) <= sci.fun + 1e-5 * (1.0 + abs(sci.fun))
+
+
+def test_nnls_pdas_vs_scipy(native):
+    from scipy.optimize import nnls as scipy_nnls
+
+    rng = np.random.default_rng(33)
+    # Tall: the active-set fast path must handle it outright.  Wide: the
+    # Gram is singular, so the PDAS may be rejected — the ADMM fallback
+    # must still deliver the optimum (looser tolerance).
+    for m, n, want_fast, rtol in ((60, 30, True, 1e-8), (40, 70, False, 1e-4)):
+        A = rng.standard_normal((m, n))
+        b = rng.standard_normal(m)
+        f = FunctionVector(Function.SQUARE, m, b=b)
+        g = FunctionVector(Function.INDGE0, n)
+        out = native.solve_graph_native(A, f, g, abs_tol=1e-8, rel_tol=1e-6)
+        if want_fast:
+            assert out["algorithm"] == "nnls_pdas"
+            assert out["status"] == Status.SUCCESS
+        assert np.all(np.asarray(out["x"]) >= -1e-6)
+        x_ref = scipy_nnls(A, b)[0]
+        obj = 0.5 * np.sum((A @ np.maximum(out["x"], 0.0) - b) ** 2)
+        obj_ref = 0.5 * np.sum((A @ x_ref - b) ** 2)
+        assert obj <= obj_ref + rtol * (1.0 + obj_ref)
