@@ -744,6 +744,27 @@ def logistic_pn(A, y, l1, settings: Optional[SolverSettings] = None,
     return out
 
 
+def lasso_path_cd(A, b, lambdas, l2=0.0,
+                  settings: Optional[SolverSettings] = None):
+    """Warm-started λ-path through the CD fast path: each grid point
+    starts from the previous solution, so interior steps cost a couple
+    of confirmation sweeps (the reference's LassoPath pattern,
+    examples/cpp/lasso_path.cpp, on the host runtime).  Returns a dict
+    of stacked results: x (K, n), optval (K,), sweeps (K,)."""
+    lambdas = np.asarray(lambdas, np.float64).ravel()
+    xs, opts, sweeps = [], [], []
+    x0 = None
+    for lam in lambdas:
+        out = lasso_cd(A, b, lam, l2, settings=settings, x0=x0)
+        x0 = out["x"]
+        xs.append(out["x"])
+        opts.append(out["optval"])
+        sweeps.append(out["iterations"])
+    return {"x": np.stack(xs), "optval": np.asarray(opts),
+            "sweeps": np.asarray(sweeps, np.int64),
+            "lambdas": lambdas}
+
+
 def nnls(A, b, settings: Optional[SolverSettings] = None) -> dict:
     """Nonnegative least squares via active-set on the normal equations
     (src/native/glm.hpp).  Raises nothing on rejection — returns status

@@ -726,3 +726,20 @@ def test_nnls_pdas_vs_scipy(native):
         obj = 0.5 * np.sum((A @ np.maximum(out["x"], 0.0) - b) ** 2)
         obj_ref = 0.5 * np.sum((A @ x_ref - b) ** 2)
         assert obj <= obj_ref + rtol * (1.0 + obj_ref)
+
+
+def test_cd_lasso_path_warm(native):
+    """Warm-started λ-path: interior grid points must cost only a few
+    confirmation sweeps, and every point must match a cold solve."""
+    A, b, lam = _lasso_problem(150, 60, seed=37)
+    lambdas = np.geomspace(1.0, 0.1, 12) * lam
+    path = native.lasso_path_cd(A, b, lambdas,
+                                settings=SolverSettings(abs_tol=1e-7))
+    assert path["x"].shape == (12, 60)
+    # warm interior steps are much cheaper than the cold first step
+    assert path["sweeps"][1:].mean() <= path["sweeps"][0]
+    for k in (0, 5, 11):
+        cold = native.lasso_cd(A, b, lambdas[k],
+                               settings=SolverSettings(abs_tol=1e-7))
+        assert abs(path["optval"][k] - cold["optval"]) <= 1e-6 * (
+            1.0 + abs(cold["optval"]))
