@@ -673,3 +673,71 @@ def test_fuzz_diag_qp_vs_dense(seed):
     assert ref.success
     assert dense["optval"] == pytest.approx(float(ref.fun),
                                             rel=1e-6, abs=1e-6)
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_fuzz_glm_fast_paths_vs_oracles(seed):
+    """Random instances of each native GLM fast path against
+    scipy/closed-form oracles (objective must not exceed the oracle's)."""
+    from scipy.optimize import minimize
+
+    from pogs_tpu import native as nat
+
+    if not nat.is_available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(700 + seed)
+    m = int(rng.integers(40, 120))
+    n = int(rng.integers(10, 40))
+    A = rng.standard_normal((m, n))
+
+    # ridge: exact closed form
+    b = rng.standard_normal(m)
+    lam = float(rng.uniform(0.1, 2.0))
+    out = nat.ridge_direct(A, b, lam)
+    x_exact = np.linalg.solve(A.T @ A + lam * np.eye(n), A.T @ b)
+    np.testing.assert_allclose(out["x"], x_exact, atol=1e-8)
+
+    # svm: objective no worse than a smooth-solver reference
+    y = np.sign(A @ rng.standard_normal(n) + 0.1 * rng.standard_normal(m))
+    out = nat.svm_cd(A, y, lam, settings=None)
+
+    def svm_obj(x):
+        return (np.maximum(0.0, 1.0 - y * (A @ x)).sum()
+                + 0.5 * lam * x @ x)
+
+    ref = minimize(svm_obj, np.zeros(n), method="Powell",
+                   options={"maxiter": 2000})
+    assert svm_obj(out["x"]) <= svm_obj(ref.x) + 1e-3 * (1.0 + abs(ref.fun))
+
+    # logistic: subgradient KKT of the true problem at the result
+    lam_l = 0.02 * np.max(np.abs(A.T @ y))
+    out = nat.logistic_pn(A, y, lam_l)
+    mu_s = 1.0 / (1.0 + np.exp(y * (A @ out["x"])))
+    grad = -A.T @ (y * mu_s)
+    kkt = np.max(np.where(np.abs(out["x"]) > 0,
+                          np.abs(grad + lam_l * np.sign(out["x"])),
+                          np.maximum(np.abs(grad) - lam_l, 0.0)))
+    assert kkt <= 2e-4 * (1.0 + lam_l)
+
+    # huber: objective no worse than L-BFGS on the smooth(ish) loss
+    delta = float(rng.uniform(0.3, 2.0))
+    out = nat.huber_irls(A, b, delta, 0.0)
+
+    def hub_obj(x):
+        r = A @ x - b
+        return np.where(np.abs(r) <= delta, 0.5 * r * r,
+                        delta * np.abs(r) - 0.5 * delta * delta).sum()
+
+    ref = minimize(hub_obj, np.zeros(n), method="L-BFGS-B",
+                   options={"maxiter": 2000, "ftol": 1e-14})
+    assert hub_obj(out["x"]) <= ref.fun + 1e-5 * (1.0 + abs(ref.fun))
+
+    # nnls: objective matches scipy.optimize.nnls
+    from scipy.optimize import nnls as scipy_nnls
+
+    out = nat.nnls(A, b)
+    if int(out["status"]) == 0:
+        x_ref = scipy_nnls(A, b)[0]
+        obj = 0.5 * np.sum((A @ out["x"] - b) ** 2)
+        obj_ref = 0.5 * np.sum((A @ x_ref - b) ** 2)
+        assert obj <= obj_ref + 1e-8 * (1.0 + obj_ref)
