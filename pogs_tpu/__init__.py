@@ -57,7 +57,7 @@ from pogs_tpu.api.graph import (
     solve_svm,
     solve_nonneg_ls,
 )
-from pogs_tpu.api.qp import solve_lp, solve_qp
+from pogs_tpu.api.qp import solve_lp, solve_qp, solve_qps
 from pogs_tpu.api.diff import (
     make_diff_solver,
     diff_lasso,
@@ -107,6 +107,7 @@ __all__ = [
     "solve_nonneg_ls",
     "solve_lp",
     "solve_qp",
+    "solve_qps",
     "make_diff_solver",
     "diff_lasso",
     "diff_ridge",

@@ -24,7 +24,7 @@ import numpy as np
 from pogs_tpu.types import Cone, ConeConstraint, Status
 from pogs_tpu.api.cone import solve_cone
 
-__all__ = ["solve_qp", "solve_lp"]
+__all__ = ["solve_qp", "solve_lp", "solve_qps"]
 
 
 def _is_sparse(M) -> bool:
@@ -434,6 +434,30 @@ def solve_lp(
     return solve_qp(None, c, G=G, h=h, A=A, b=b, lb=lb, ub=ub,
                     solver=solver, warm_start=warm_start,
                     presolve=presolve, **kw)
+
+
+def solve_qps(path, sparse=False, **kw):
+    """Load a QPS/MPS file and solve it in one call.
+
+    ``objective`` in the result includes the file's constant term
+    (``optval`` stays the bare ``(1/2)x'Px + q'x`` like ``solve_qp``);
+    ``name`` carries the problem name.  All-zero Hessians route through
+    :func:`solve_lp`.  ``sparse=True`` keeps the constraint matrices
+    sparse (use for the large Maros–Mészáros instances); solver keyword
+    arguments (``abs_tol``/``dtype``/...) pass through."""
+    from pogs_tpu.utils.qps import load_qps, qps_to_solve_qp_kwargs
+
+    p = load_qps(path, sparse=sparse)
+    qkw = qps_to_solve_qp_kwargs(p)
+    P = qkw.pop("P")
+    nnz = P.nnz if hasattr(P, "nnz") else np.count_nonzero(np.asarray(P))
+    if nnz == 0:
+        out = solve_lp(qkw.pop("q"), **qkw, **kw)
+    else:
+        out = solve_qp(P, qkw.pop("q"), **qkw, **kw)
+    out["objective"] = float(out["optval"]) + p["c0"]
+    out["name"] = p["name"]
+    return out
 
 
 def _solve_separable(P, q, lb, ub):

@@ -287,3 +287,20 @@ ENDATA
     assert ref.status == 0
     assert abs(out["optval"] + p["c0"] - ref.fun) < 1e-6 * max(1.0,
                                                                abs(ref.fun))
+
+
+def test_solve_qps_one_call():
+    """pogs_tpu.solve_qps: load + route + constant-corrected objective."""
+    from pogs_tpu import solve_qps
+    from pogs_tpu.types import Status
+
+    out = solve_qps(os.path.join(DATA, "HS21.QPS"), abs_tol=1e-8,
+                    rel_tol=1e-8, dtype=np.float64)
+    assert out["name"] == "HS21"
+    assert Status(out["status"]) == Status.SUCCESS
+    assert abs(out["objective"] - (-99.96)) < 1e-5
+    np.testing.assert_allclose(out["x"], [2.0, 0.0], atol=1e-5)
+    # sparse load path too
+    out2 = solve_qps(os.path.join(DATA, "HS21.QPS"), sparse=True,
+                     abs_tol=1e-8, rel_tol=1e-8, dtype=np.float64)
+    assert abs(out2["objective"] - (-99.96)) < 1e-5
