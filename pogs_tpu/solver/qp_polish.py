@@ -336,7 +336,8 @@ def _repair_duals(P, c, A, kind, x, act):
     return lam
 
 
-def active_set_polish(P, c, A, b, kind, x, lam, tol):
+def active_set_polish(P, c, A, b, kind, x, lam, tol,
+                      max_pdas: int = _MAX_PDAS_ITER):
     """Primal-dual active-set (PDAS) polish seeded at the ADMM iterate.
 
     A single active-set guess from a stalled ADMM point is unreliable (the
@@ -373,7 +374,7 @@ def active_set_polish(P, c, A, b, kind, x, lam, tol):
     best = None
     seen = set()
     act = (kind == 0) | (kind * (lam - s) > 0)
-    for _ in range(_MAX_PDAS_ITER):
+    for _ in range(max_pdas):
         key = act.tobytes()
         if key in seen:  # cycle — PDAS can oscillate on degenerate sets
             break

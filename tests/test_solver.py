@@ -236,3 +236,41 @@ def test_f32_tolerance_attainment_family():
     for out in runs:
         assert out["status"] == int(Status.SUCCESS)
         assert np.all(np.isfinite(out["x"]))
+
+
+def test_f32_rho_clamp_is_load_bearing(monkeypatch):
+    """Regression pin for the tightened f32 adaptive-rho bounds
+    (admm.py K_RHO_MIN_F32/K_RHO_MAX_F32 = [1e-2, 1e2]).
+
+    Under the reference's bounds [1e-4, 1e4] (pogs.cpp:94-96) an f32 NNLS
+    solve stalls permanently: adaptive rho spirals toward 1e-4, zt = dual/rho
+    grows, and the dual residual sits on the f32 cancellation floor above
+    eps_dua.  This test reproduces that stall and asserts the shipped clamp
+    fixes it, so restoring the reference bounds for f32 fails loudly.
+
+    The two solves use different max_iter values on purpose: the jitted
+    solve is cached per-settings, and the clamp constants are baked in at
+    trace time.
+    """
+    import numpy as np
+    import pogs_tpu.solver.admm as admm_mod
+    from pogs_tpu import solve_nonneg_ls, Status
+
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((300, 150)).astype(np.float32)
+    b = (A @ np.abs(rng.standard_normal(150))
+         + 0.1 * rng.standard_normal(300)).astype(np.float32)
+
+    monkeypatch.setattr(admm_mod, "K_RHO_MIN_F32", 1e-4)
+    monkeypatch.setattr(admm_mod, "K_RHO_MAX_F32", 1e4)
+    stalled = solve_nonneg_ls(A, b, max_iter=2501)
+    assert stalled["status"] == int(Status.MAX_ITER), (
+        "the f32 stall under the reference rho bounds no longer reproduces; "
+        "if the loop changed, re-validate whether the tightened clamp is "
+        "still needed (admm.py:52-58)")
+
+    monkeypatch.setattr(admm_mod, "K_RHO_MIN_F32", 1e-2)
+    monkeypatch.setattr(admm_mod, "K_RHO_MAX_F32", 1e2)
+    fixed = solve_nonneg_ls(A, b, max_iter=2500)
+    assert fixed["status"] == int(Status.SUCCESS)
+    assert fixed["iterations"] < 1000
