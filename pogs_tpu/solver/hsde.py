@@ -78,8 +78,30 @@ K_CERT_CONFIRM = 0.25  # confirm burst: fp_resid must tighten to this x fp_tol
 K_POLISH_START = 250
 K_POLISH_EVERY = 250
 K_POLISH_IPM_STEPS = 10
-K_POLISH_MAX_N = 2048   # the IPM normal matrix is n x n
+K_POLISH_MAX_N = 2048   # Cholesky variant: the IPM normal matrix is n x n
 K_POLISH_MAX_M = 16384  # keep per-step A'DA matmuls bounded
+# XL Cholesky variant (round-4, VERDICT item 5): between the standard
+# caps and these, the SAME dense-normal-equations burst runs on a sparser
+# cadence with fewer steps — each step is one m x n^2 matmul + one n^3/3
+# Cholesky, which rides the MXU on TPU and is affordable once-in-a-while
+# on a CPU host.  This is what lifts the tail finisher to 10^4-10^5-row
+# LPs (e.g. 20000 x 5000).
+K_POLISH_XL_MAX_N = 8192
+K_POLISH_XL_MAX_M = 120_000
+K_POLISH_XL_EVERY = 1000
+K_POLISH_XL_STEPS = 6
+# Matrix-free variant: when even the XL normal matrix cannot be formed
+# (n > 8192), the Newton systems fall back to Jacobi-preconditioned CG on
+# A'DA (matvecs only).  Measured honestly: the late-IPM normal systems
+# need ~5n CG iterations even preconditioned (D spans ~1e12), so this is
+# a last resort with a real budget, not a cheap trick.  Inequality-only:
+# equality rows take a ~1e8 barrier weight the Krylov solver cannot
+# absorb, so Zero-cone rows are Cholesky-only.
+K_POLISH_CG_MAX_N = 50_000
+K_POLISH_CG_MAX_M = 400_000
+K_POLISH_CG_EVERY = 2000
+K_POLISH_CG_STEPS = 6
+K_POLISH_CG_ITERS = 800
 
 
 def _nrm2(v):
@@ -333,6 +355,46 @@ def cg_solve_normal(q_matvec, qt_matvec, inv_diag, u, x0, tol, max_iter):
     return x
 
 
+def _pcg_psd(matvec, inv_diag, rhs, x0, tol, max_iter):
+    """Jacobi-preconditioned CG on an SPD system (traceable).
+
+    Used by the matrix-free IPM polish: the normal matrix A'DA + δI is
+    applied as two A-passes per iteration, never formed.  Fixed-shape
+    while_loop with an early-exit flag; returns the iterate when either
+    ‖r‖ ≤ tol·‖rhs‖ or the budget runs out (the IPM acceptance test
+    rejects insufficient accuracy downstream, so a truncated solve can
+    degrade only the step quality, never correctness)."""
+    rhs_norm = jnp.linalg.norm(rhs)
+    stop = tol * rhs_norm
+    r0 = rhs - matvec(x0)
+    z0 = inv_diag * r0
+    rz0 = jnp.vdot(r0, z0)
+
+    def cond(c):
+        _, r, _, _, _, k, done = c
+        return jnp.logical_not(done) & (k < max_iter)
+
+    def body(c):
+        x, r, z, p, rz, k, _ = c
+        Ap = matvec(p)
+        denom = jnp.vdot(p, Ap)
+        alpha = rz / jnp.where(denom > 0, denom, 1.0)
+        alpha = jnp.where(denom > 0, alpha, 0.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = inv_diag * r
+        rz_new = jnp.vdot(r, z)
+        done = (jnp.linalg.norm(r) <= stop) | (denom <= 0)
+        beta = rz_new / jnp.where(rz > 0, rz, 1.0)
+        p = z + beta * p
+        return (x, r, z, p, rz_new, k + 1, done)
+
+    x, *_ = lax.while_loop(
+        cond, body, (x0, r0, z0, z0, rz0, jnp.asarray(0, jnp.int32),
+                     rhs_norm == 0))
+    return x
+
+
 # ---------------------------------------------------------------------------
 # The DR loop.
 # ---------------------------------------------------------------------------
@@ -465,12 +527,30 @@ def hsde_solve(
     import numpy as _host_np
 
     polish_on = False
+    polish_mode = None
     if polish and P is None and getattr(Ky, "is_separable_only", False) \
-            and m <= K_POLISH_MAX_M and n <= K_POLISH_MAX_N and m >= n:
+            and m >= n:
+        z_m, nn_m, np_m = Ky.separable_masks()
+        if m <= K_POLISH_MAX_M and n <= K_POLISH_MAX_N:
+            polish_mode = "chol"
+            p_start, p_every, p_steps = (
+                K_POLISH_START, K_POLISH_EVERY, K_POLISH_IPM_STEPS)
+        elif m <= K_POLISH_XL_MAX_M and n <= K_POLISH_XL_MAX_N:
+            polish_mode = "chol"  # same burst, sparser cadence
+            p_start, p_every, p_steps = (
+                K_POLISH_XL_EVERY, K_POLISH_XL_EVERY, K_POLISH_XL_STEPS)
+        elif (not z_m.any()) and m <= K_POLISH_CG_MAX_M \
+                and n <= K_POLISH_CG_MAX_N:
+            # Matrix-free CG variant; equality rows carry a ~1e8 barrier
+            # weight the Krylov solver cannot absorb, so Zero rows are
+            # Cholesky-only.
+            polish_mode = "cg"
+            p_start, p_every, p_steps = (
+                K_POLISH_CG_EVERY, K_POLISH_CG_EVERY, K_POLISH_CG_STEPS)
         A_raw = getattr(A, "A", A)
-        if isinstance(A_raw, (jax.Array, _host_np.ndarray)) \
-                or hasattr(A_raw, "aval"):
-            z_m, nn_m, np_m = Ky.separable_masks()
+        if polish_mode is not None and (
+                isinstance(A_raw, (jax.Array, _host_np.ndarray))
+                or hasattr(A_raw, "aval")):
             p_zero = jnp.asarray(z_m)
             p_ineq = jnp.asarray(nn_m | np_m)
             # Sign-flip NonPos rows so every inequality is NonNeg in the
@@ -478,11 +558,14 @@ def hsde_solve(
             sgn_host = _host_np.where(np_m, -1.0, 1.0)
             p_sgn = jnp.asarray(sgn_host, dt)
             Af = jnp.asarray(A_raw, dt) * p_sgn[:, None]
-            p_eye_delta = jnp.asarray(
-                1e-7 if dt == jnp.float32 else 1e-13, dt
-            ) * jnp.eye(n, dtype=dt)
+            p_delta = jnp.asarray(
+                1e-7 if dt == jnp.float32 else 1e-13, dt)
+            if polish_mode == "chol":
+                p_eye_delta = p_delta * jnp.eye(n, dtype=dt)
             p_tiny = jnp.asarray(1e-30, dt)
             polish_on = True
+        else:
+            polish_mode = None
 
     def convergence_check(st: HsdeState) -> HsdeState:
         """Every-10-iterations residual / certificate test (pogs.cpp:1713-1832)."""
@@ -551,21 +634,47 @@ def hsde_solve(
                             jnp.asarray(1e8, dt),
                             1e4 * jnp.max(D_i))
                         D = jnp.where(p_zero, DZ, D_i)
-                        Mn = jnp.matmul(Af.T, D[:, None] * Af,
-                                        precision=_PRECISION) + p_eye_delta
-                        Lm = jnp.linalg.cholesky(Mn)
+                        if polish_mode == "chol":
+                            Mn = jnp.matmul(Af.T, D[:, None] * Af,
+                                            precision=_PRECISION) \
+                                + p_eye_delta
+                            Lm = jnp.linalg.cholesky(Mn)
+
+                            def solve_normal(rhs, dx0):
+                                return jax.scipy.linalg.cho_solve(
+                                    (Lm, True), rhs)
+                        else:
+                            # Matrix-free: Jacobi-PCG on A'DA + δI.  The
+                            # diagonal Σᵢ Dᵢ Afᵢⱼ² fuses into one A-pass.
+                            jac = jnp.einsum(
+                                "i,ij,ij->j", D, Af, Af,
+                                precision=_PRECISION) + p_delta
+                            inv_jac = 1.0 / jnp.maximum(jac, p_tiny)
+
+                            def nmv(v):
+                                Av = jnp.matmul(Af, v,
+                                                precision=_PRECISION)
+                                return jnp.matmul(
+                                    Af.T, D * Av, precision=_PRECISION
+                                ) + p_delta * v
+
+                            def solve_normal(rhs, dx0):
+                                return _pcg_psd(
+                                    nmv, inv_jac, rhs, dx0,
+                                    jnp.asarray(1e-10, dt),
+                                    K_POLISH_CG_ITERS)
                         r_p = jnp.matmul(Af, x, precision=_PRECISION) \
                             + s - bf
                         r_d = jnp.matmul(Af.T, y, precision=_PRECISION) + c
 
-                        def newton(sigma_mu):
+                        def newton(sigma_mu, dx0):
                             r_c = jnp.where(p_ineq,
                                             s * y - sigma_mu, 0.0)
                             rc_y = jnp.where(p_ineq, r_c / y_safe, 0.0)
                             rhs = -r_d - jnp.matmul(
                                 Af.T, D * (r_p - rc_y),
                                 precision=_PRECISION)
-                            dx = jax.scipy.linalg.cho_solve((Lm, True), rhs)
+                            dx = solve_normal(rhs, dx0)
                             dy = D * (jnp.matmul(Af, dx,
                                                  precision=_PRECISION)
                                       + r_p - rc_y)
@@ -580,7 +689,8 @@ def hsde_solve(
                             return jnp.minimum(
                                 jnp.asarray(1.0, dt), 0.995 * jnp.min(r))
 
-                        dx, dy, ds = newton(jnp.asarray(0.0, dt))
+                        zero_dx = jnp.zeros(n, dt)
+                        dx, dy, ds = newton(jnp.asarray(0.0, dt), zero_dx)
                         ap = amax(s, ds)
                         ad = amax(y, dy)
                         mu_aff = jnp.vdot(
@@ -589,13 +699,14 @@ def hsde_solve(
                         sigma = jnp.clip(
                             (mu_aff / jnp.maximum(mu, p_tiny)) ** 3,
                             0.0, 1.0)
-                        dx, dy, ds = newton(sigma * mu)
+                        # Corrector CG warm-starts from the affine step.
+                        dx, dy, ds = newton(sigma * mu, dx)
                         ap = amax(s, ds)
                         ad = amax(y, dy)
                         return (x + ap * dx, y + ad * dy, s + ap * ds)
 
                     x_p, y_f, _s_f = lax.fori_loop(
-                        0, K_POLISH_IPM_STEPS, ipm_body, (x0, y0, s0))
+                        0, p_steps, ipm_body, (x0, y0, s0))
                     y_p = p_sgn * y_f
                     s_p = b - amv(x_p)
                     r_pri_p = jnp.linalg.norm(s_p - Ky.project(s_p))
@@ -621,8 +732,8 @@ def hsde_solve(
 
                 ok_p, x_p, y_p, r_pp, r_dp, g_p = lax.cond(
                     jnp.logical_not(converged)
-                    & (st.k >= K_POLISH_START)
-                    & (st.k % K_POLISH_EVERY == 0),
+                    & (st.k >= p_start)
+                    & (st.k % p_every == 0),
                     attempt_polish, skip_polish, None,
                 )
                 wx_out = jnp.where(ok_p, x_p * tau, wx_out)
