@@ -84,7 +84,15 @@ def main():
                     help="17000x800 smoke variant (m > 16384 so it still "
                          "exercises the XL polish tier)")
     ap.add_argument("--max-iter", type=int, default=20000)
+    ap.add_argument("--cpu", action="store_true",
+                    help="pin the JAX CPU backend (the axon TPU plugin "
+                         "overrides the JAX_PLATFORMS env var, so the "
+                         "env alone does not stick)")
     args = ap.parse_args()
+    if args.cpu or os.environ.get("JAX_PLATFORMS") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     m, n = (17000, 800) if args.small else (20000, 5000)
     row = run(m, n, 1e-6, 1e-6, args.max_iter)
     from benchmarks.head_to_head import merge_results

@@ -344,6 +344,64 @@ def _scs_dims_to_dict(cone_dims) -> dict:
     }
 
 
+def solve_via_scs_data(data, solver_opts: dict, verbose: bool = False):
+    """Solve an SCS-convention conic data dict and return the SCS 3.x
+    result-dict contract that cvxpy's ``SCS.invert()`` consumes.
+
+    Standalone (no cvxpy import) so the full plugin solve contract is
+    testable against recorded data dicts in environments without cvxpy
+    (tests/test_cvxpy_plugin_contract.py); the POGS_TPU ConicSolver
+    subclass delegates here.  ``data["dims"]`` may be a cvxpy ConeDims
+    object or a plain SCS dims dict.
+    """
+    dims = data["dims"]
+    if not isinstance(dims, dict):
+        dims = _scs_dims_to_dict(dims)
+    A = data["A"]
+    if hasattr(A, "toarray") and A.shape[0] * A.shape[1] <= 4_000_000:
+        A = A.toarray()
+    out = solve_cone_problem(
+        data["c"], A, data["b"], dims,
+        P=data.get("P"),
+        abs_tol=solver_opts.get("abs_tol", 1e-4),
+        rel_tol=solver_opts.get("rel_tol", 1e-4),
+        max_iter=solver_opts.get("max_iter", 2500),
+        verbose=1 if verbose else 0,
+        assume_svec=True,
+    )
+
+    # Mimic the SCS result dict that SCS.invert() expects.  cvxpy's
+    # scs_conif.STATUS_MAP keys on SCS 3.x status_val integers:
+    # 1 solved, 2 solved-inaccurate, -1 infeasible, -2 unbounded,
+    # -4 failed.
+    status_str = {
+        int(Status.SUCCESS): "solved",
+        int(Status.MAX_ITER): "solved (inaccurate - reached max_iters)",
+        int(Status.INFEASIBLE): "infeasible",
+        int(Status.UNBOUNDED): "unbounded",
+    }
+    status_val = {
+        int(Status.SUCCESS): 1,
+        int(Status.MAX_ITER): 2,
+        int(Status.INFEASIBLE): -1,
+        int(Status.UNBOUNDED): -2,
+    }
+    return {
+        "x": out["x"],
+        "y": out["l"],
+        "s": out["s"],
+        "info": {
+            "status": status_str.get(out["status"], "failure"),
+            "status_val": status_val.get(out["status"], -4),
+            "iter": out["num_iters"],
+            "pobj": out["optval"],
+            "dobj": out["optval"],
+            "solve_time": out["solve_time"] * 1e3,
+            "setup_time": 0.0,
+        },
+    }
+
+
 def make_solver_class():
     """Build the cvxpy ConicSolver subclass (deferred so importing this
     module never requires cvxpy)."""
@@ -362,50 +420,7 @@ def make_solver_class():
 
         def solve_via_data(self, data, warm_start, verbose, solver_opts,
                            solver_cache=None):
-            dims = _scs_dims_to_dict(data["dims"])
-            A = data["A"]
-            if hasattr(A, "toarray") and A.shape[0] * A.shape[1] <= 4_000_000:
-                A = A.toarray()
-            out = solve_cone_problem(
-                data["c"], A, data["b"], dims,
-                P=data.get("P"),
-                abs_tol=solver_opts.get("abs_tol", 1e-4),
-                rel_tol=solver_opts.get("rel_tol", 1e-4),
-                max_iter=solver_opts.get("max_iter", 2500),
-                verbose=1 if verbose else 0,
-                assume_svec=True,
-            )
-
-            # Mimic the SCS result dict that SCS.invert() expects.  cvxpy's
-            # scs_conif.STATUS_MAP keys on SCS 3.x status_val integers:
-            # 1 solved, 2 solved-inaccurate, -1 infeasible, -2 unbounded,
-            # -4 failed.
-            status_str = {
-                int(Status.SUCCESS): "solved",
-                int(Status.MAX_ITER): "solved (inaccurate - reached max_iters)",
-                int(Status.INFEASIBLE): "infeasible",
-                int(Status.UNBOUNDED): "unbounded",
-            }
-            status_val = {
-                int(Status.SUCCESS): 1,
-                int(Status.MAX_ITER): 2,
-                int(Status.INFEASIBLE): -1,
-                int(Status.UNBOUNDED): -2,
-            }
-            return {
-                "x": out["x"],
-                "y": out["l"],
-                "s": out["s"],
-                "info": {
-                    "status": status_str.get(out["status"], "failure"),
-                    "status_val": status_val.get(out["status"], -4),
-                    "iter": out["num_iters"],
-                    "pobj": out["optval"],
-                    "dobj": out["optval"],
-                    "solve_time": out["solve_time"] * 1e3,
-                    "setup_time": 0.0,
-                },
-            }
+            return solve_via_scs_data(data, solver_opts, verbose)
 
     return POGS_TPU
 

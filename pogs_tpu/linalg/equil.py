@@ -58,17 +58,37 @@ def sinkhorn_knopp(
         bm, brm = (lambda v: B @ v), (lambda v: B.T @ v)
         m, n = B.shape
         dt = B.dtype
-    reg_e = jnp.asarray(SINKHORN_CONST * (m + n) / m, dt)
-    reg_d = jnp.asarray(SINKHORN_CONST * (m + n) / n, dt)
+    # Zero rows/columns (padding rows for equal mesh shards, slack-free
+    # variables) must not distort the scaling of the REAL entries: with
+    # the raw counts, k zero rows inflate every e_j by m/(m-k) and the
+    # regularizer shifts with them — measured to collapse the HSDE DR
+    # rate ~36x on a 10%-padded LP.  Run the updates on the EFFECTIVE
+    # counts and pin zero rows/cols to scale 1 (also keeps a huge d_i
+    # from amplifying b_i on a zero row with b_i != 0).
+    row_mass = bm(jnp.ones((n,), dt))
+    col_mass = brm(jnp.ones((m,), dt))
+    row_live = row_mass > 0
+    col_live = col_mass > 0
+    m_eff = jnp.maximum(jnp.sum(row_live.astype(dt)), 1.0)
+    n_eff = jnp.maximum(jnp.sum(col_live.astype(dt)), 1.0)
+    reg_e = SINKHORN_CONST * (m_eff + n_eff) / m_eff
+    reg_d = SINKHORN_CONST * (m_eff + n_eff) / n_eff
     cd = constrain_d if constrain_d is not None else lambda v: v
     ce = constrain_e if constrain_e is not None else lambda v: v
 
     def body(_, de):
         d, e = de
-        e = ce(brm(d) + reg_e)
-        e = jnp.asarray(m, dt) / e
-        d = cd(bm(e) + reg_d)
-        d = jnp.asarray(n, dt) / d
+        # Zero rows/cols are pinned to the NEUTRAL accumulation (the one
+        # that inverts to scale 1) BEFORE the cone hook, so cone-averaging
+        # still re-imposes uniform scaling across any non-separable cone
+        # that happens to contain a zero row (e.g. the radius row of an
+        # SOC ball, which is all-zero in A).
+        acc_e = brm(d) + reg_e
+        acc_e = jnp.where(col_live, acc_e, m_eff)
+        e = m_eff / ce(acc_e)
+        acc_d = bm(e) + reg_d
+        acc_d = jnp.where(row_live, acc_d, n_eff)
+        d = n_eff / cd(acc_d)
         return (d, e)
 
     d0 = jnp.ones((m,), dt)

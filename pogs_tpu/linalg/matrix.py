@@ -153,6 +153,8 @@ def as_matrix_op(A, dtype=None):
     """Wrap dense arrays / scipy sparse / BCOO into the operator contract."""
     if isinstance(A, (DenseMatrix, SparseMatrix)):
         return A
+    if hasattr(A, "mv") and hasattr(A, "scale") and hasattr(A, "is_sparse"):
+        return A  # already an operator (e.g. parallel.sparse.ShardedSparseMatrix)
     if isinstance(A, jsparse.BCOO):
         if dtype is not None and A.dtype != dtype:
             A = jsparse.BCOO((A.data.astype(dtype), A.indices), shape=A.shape)

@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from pogs_tpu.linalg.equil import equilibrate
 from pogs_tpu.linalg.norm import norm2_est
@@ -141,3 +142,48 @@ def test_blocked_gram_end_to_end_solve(monkeypatch, rng):
     on = x != 0
     assert np.all(np.abs(g[~on]) <= lam * (1 + 1e-3))
     np.testing.assert_allclose(g[on], -lam * np.sign(x[on]), atol=1e-4 * lam)
+
+
+def test_equilibration_zero_rows_do_not_distort_scaling():
+    """Round-4 regression: zero rows (mesh padding, presolve-emptied
+    constraints) used to shift every column scaling by m/(m_eff) and the
+    Sinkhorn regularizers with it, collapsing the HSDE DR rate ~36x on a
+    10%-padded LP.  Effective-count Sinkhorn must (a) give zero rows
+    scale ~1 and (b) leave the REAL rows' scalings (nearly) identical to
+    the unpadded equilibration."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pogs_tpu.linalg.equil import equilibrate
+
+    rng = np.random.default_rng(4)
+    A = rng.standard_normal((20, 8))
+    A_pad = np.vstack([A, np.zeros((4, 8))])
+    eq = equilibrate(jnp.asarray(A))
+    eq_pad = equilibrate(jnp.asarray(A_pad))
+    d_pad = np.asarray(eq_pad.d)
+    # The final Frobenius normalization folds a UNIFORM factor into d and
+    # e; what must match is the relative structure.  Zero rows sit at the
+    # neutral scale (the bare fold factor), and the real rows'/cols'
+    # scalings agree with the unpadded equilibration up to that uniform
+    # factor.
+    assert d_pad[20:] == pytest.approx(np.full(4, d_pad[20]), rel=1e-9)
+    ratio_d = d_pad[:20] / np.asarray(eq.d)
+    assert ratio_d == pytest.approx(np.full(20, ratio_d[0]), rel=1e-5)
+    ratio_e = np.asarray(eq_pad.e) / np.asarray(eq.e)
+    assert ratio_e == pytest.approx(np.full(8, ratio_e[0]), rel=1e-5)
+
+
+def test_sinkhorn_unchanged_without_zero_rows():
+    """The effective-count rewrite must be a no-op on full-rank data:
+    row/col products of the equilibrated B stay near-uniform."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pogs_tpu.linalg.equil import sinkhorn_knopp
+
+    rng = np.random.default_rng(11)
+    A = rng.standard_normal((30, 12))
+    B = jnp.asarray(A * A)
+    d, e = sinkhorn_knopp(B)
+    scaled = np.asarray(d)[:, None] * np.asarray(A * A) * np.asarray(e)
+    rows = scaled.sum(axis=1)
+    assert rows.max() / rows.min() < 1.3

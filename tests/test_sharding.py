@@ -531,3 +531,112 @@ def test_batched_qp_shared_c_broadcast(rng):
     assert np.all(out["status"] == 0)
     # Wider boxes can only improve the optimum: optval non-increasing.
     assert np.all(np.diff(out["optval"]) <= 1e-8)
+
+
+# --------------------------------------------------------------------------
+# Sparse x sharded (BASELINE config 5 verbatim: row-sharded SPARSE A).
+# The dense plan rides GSPMD propagation; sparse matvecs need the explicit
+# row-block shard_map operator (parallel/sparse.py).
+# --------------------------------------------------------------------------
+
+def _sparse_op_fixture(mesh):
+    import scipy.sparse as sp
+
+    from pogs_tpu.parallel.sparse import shard_sparse
+
+    rng = np.random.default_rng(3)
+    m0, n = 11, 12
+    Araw = sp.random(m0, n, density=0.3, random_state=4, format="csr")
+    A = sp.vstack([Araw, sp.eye(n), -sp.eye(n)]).tocsr()
+    op, m_orig = shard_sparse(A, mesh, dtype=np.float32)
+    return A, op, m_orig, rng
+
+
+def test_sharded_sparse_operator_matches_dense(mesh8):
+    """mv/rmv/sq_mv/sq_rmv/scale/frob2 of the row-block sharded sparse
+    operator agree with the dense oracle (padding rows inert)."""
+    A, op, m_orig, rng = _sparse_op_fixture(mesh8)
+    Ad = A.toarray().astype(np.float32)
+    m, n = Ad.shape
+    x = rng.normal(size=n).astype(np.float32)
+    y = rng.normal(size=op.shape[0]).astype(np.float32)
+    mv = np.asarray(op.mv(x))
+    assert mv[:m] == pytest.approx(Ad @ x, abs=1e-5)
+    assert np.all(mv[m:] == 0.0)
+    assert np.asarray(op.rmv(y)) == pytest.approx(Ad.T @ y[:m], abs=1e-5)
+    assert np.asarray(op.sq_mv(x))[:m] == pytest.approx(
+        (Ad * Ad) @ x, abs=1e-5)
+    d = (rng.random(op.shape[0]) + 0.5).astype(np.float32)
+    e = (rng.random(n) + 0.5).astype(np.float32)
+    scaled = np.asarray(op.scale(jnp.asarray(d), jnp.asarray(e)).mv(x))
+    assert scaled[:m] == pytest.approx(
+        (d[:m, None] * Ad * e[None, :]) @ x, abs=1e-4)
+    assert float(op.frob2()) == pytest.approx(float((Ad ** 2).sum()),
+                                              rel=1e-5)
+
+
+def test_sharded_sparse_cone_lp_matches_single(mesh8):
+    """Row-sharded sparse LP through the HSDE cone path == single-device
+    sparse solve (BASELINE config 5)."""
+    import scipy.sparse as sp
+
+    from pogs_tpu.parallel.sparse import pad_cone_rows, shard_sparse
+    from pogs_tpu.solver.cone import ConeSolver
+    from pogs_tpu.types import Cone, ConeConstraint
+
+    rng = np.random.default_rng(7)
+    m0, n = 9, 10
+    Araw = sp.random(m0, n, density=0.4, random_state=1, format="csr")
+    A = sp.vstack([Araw, sp.eye(n), -sp.eye(n)]).tocsr()
+    m = A.shape[0]
+    x0 = rng.normal(size=n)
+    b = A @ x0 + rng.random(m) + 0.1
+    c = rng.normal(size=n)
+    Ky = [ConeConstraint(Cone.NON_NEG, range(m))]
+    # f64: the sharded path's different reduction order can park the f32
+    # dual residual a hair above a 1e-5 floor-level tolerance.
+    st = SolverSettings(abs_tol=1e-6, rel_tol=1e-6, max_iter=1500)
+
+    r_single = ConeSolver(A, Ky=Ky, settings=st, dtype=np.float64,
+                          sparse_policy="keep").solve(b, c, settings=st)
+
+    op, _ = shard_sparse(A, mesh8, dtype=np.float64)
+    b_pad, Ky_pad = pad_cone_rows(b, Ky, op.shape[0])
+    r_shard = ConeSolver(op, Ky=Ky_pad, settings=st,
+                         dtype=np.float64).solve(b_pad, c, settings=st)
+
+    assert r_single.status == Status.SUCCESS
+    assert r_shard.status == Status.SUCCESS
+    assert float(r_shard.optval) == pytest.approx(
+        float(r_single.optval), rel=1e-4, abs=1e-4)
+    assert np.asarray(r_shard.x) == pytest.approx(
+        np.asarray(r_single.x), abs=1e-3)
+
+
+def test_sharded_sparse_socp(mesh8):
+    """Sparse SOC-ball problem row-sharded: min c'x s.t. ||x - x0|| <= r
+    (closed-form optimum c'x0 - r||c||)."""
+    import scipy.sparse as sp
+
+    from pogs_tpu.parallel.sparse import pad_cone_rows, shard_sparse
+    from pogs_tpu.solver.cone import ConeSolver
+    from pogs_tpu.types import Cone, ConeConstraint
+
+    rng = np.random.default_rng(9)
+    n = 15  # SOC over n+1 = 16 rows: 2 per shard on the 8-way mesh
+    x0 = rng.standard_normal(n).astype(np.float32)
+    c = rng.standard_normal(n).astype(np.float32)
+    r = 1.5
+    A = sp.vstack([sp.csr_matrix((1, n)), -sp.eye(n)]).tocsr()
+    b = np.concatenate([[r], -x0]).astype(np.float32)
+    Ky = [ConeConstraint(Cone.SOC, range(n + 1))]
+    st = SolverSettings(abs_tol=1e-6, rel_tol=1e-6)
+
+    op, _ = shard_sparse(A, mesh8, dtype=np.float32)
+    b_pad, Ky_pad = pad_cone_rows(b, Ky, op.shape[0])
+    res = ConeSolver(op, Ky=Ky_pad, settings=st,
+                     dtype=np.float32).solve(b_pad, c, settings=st)
+
+    expect = float(c @ x0 - r * np.linalg.norm(c))
+    assert res.status == Status.SUCCESS
+    assert float(res.optval) == pytest.approx(expect, rel=1e-3, abs=1e-3)
