@@ -183,6 +183,7 @@ def main():
     args = ap.parse_args()
     import jax
 
+    jax.config.update("jax_enable_x64", True)  # cone LP runs f64
     if args.cpu or os.environ.get("JAX_PLATFORMS") == "cpu":
         jax.config.update("jax_platforms", "cpu")
 

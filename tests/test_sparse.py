@@ -129,3 +129,39 @@ def test_cone_solver_sparse_policy():
     assert s_auto.A.is_sparse
     with pytest.raises(ValueError, match="sparse_policy"):
         ConeSolver(A, Ky=Ky, sparse_policy="bogus")
+
+
+def test_f32_cgls_noise_floor_regression(rng):
+    """Round-4 regression: a warm-started f32 CGLS projection used to burn
+    all 500 inner iterations at the f32 noise floor once the ADMM warm
+    start got good — the conjugacy-free recurrence then random-walked and
+    the outer solve diverged by 6 orders of magnitude (2000x1000 1%-dense
+    lasso: MAX_ITER at obj 2.6e6 vs 168.6 converged).  The best-iterate +
+    divergence/stall guards in cgls_solve must keep the f32 sparse route
+    convergent and matching the direct projector's objective."""
+    m, n = 2000, 1000
+    A = sp.random(m, n, density=0.01, random_state=3, format="csr")
+    A.data[:] = rng.normal(size=A.nnz)
+    x_true = np.zeros(n)
+    idx = rng.choice(n, n // 20, replace=False)
+    x_true[idx] = rng.normal(size=idx.size)
+    b = A @ x_true + 0.1 * rng.normal(size=m)
+    lam = 0.1 * float(np.max(np.abs(A.T @ b)))
+    st = SolverSettings(abs_tol=1e-4, rel_tol=1e-4, max_iter=2500)
+    f = FunctionVector(Function.SQUARE, m, b=np.asarray(b, np.float32),
+                       dtype=jnp.float32)
+    g = FunctionVector(Function.ABS, n, c=lam, dtype=jnp.float32)
+
+    out = GraphFormSolver(A, dtype=jnp.float32,
+                          sparse_policy="keep").solve(f, g, settings=st)
+    assert out.status == Status.SUCCESS
+    assert out.final_iter < 1000
+
+    def canon_obj(x):
+        x = np.asarray(x, np.float64)
+        r = A @ x - b
+        return float(0.5 * r @ r + lam * np.abs(x).sum())
+
+    dense_out = GraphFormSolver(A.toarray().astype(np.float32),
+                                dtype=jnp.float32).solve(f, g, settings=st)
+    assert canon_obj(out.x) == pytest.approx(canon_obj(dense_out.x), rel=1e-2)
