@@ -8,16 +8,20 @@ transfer, and init costs cancel, and the fit residual exposes a
 non-linear (i.e. broken) measurement instead of silently publishing it.
 
 Round-3 published 839 GB/s achieved on an 819 GB/s part — physically
-impossible.  Post-mortem: the bytes model (2mn + n^2 + 14(m+n) per
-iteration, re-derived below and still used) matches the compiled loop
-body's streams; the inflation came from the MEASUREMENT — the tunneled
-axon backend under-blocks ``block_until_ready``, so the 2-point slope
-was computed on partially-dispatched timings.  Fixes here: (a) every
-timed region ends with a full ``np.asarray`` fetch (hard sync; its
-constant cost cancels in the slope), (b) a 3-point least-squares slope
-with the fit R^2 published, (c) a hard refusal marker whenever
-achieved > peak, and (d) ``--trace-dir`` captures a jax.profiler device
-trace so the figure can be cross-checked against hardware counters.
+impossible.  Round-4 post-mortem, two compounding defects: (1) the
+MEASUREMENT — the tunneled axon backend under-blocks
+``block_until_ready``, so the 2-point slope timed partially-dispatched
+work; (2) the BYTES MODEL — 2mn + n^2 + 14(m+n) charges the Gram
+inverse to HBM every iteration, but at n=5000 the 95 MiB inverse is
+VMEM-resident (evidence chain in the comment at the model below).
+Fixes here: (a) every timed region ends with a full ``np.asarray``
+fetch (hard sync; its constant cost cancels in the slope), (b) a
+3-point least-squares slope with the fit R^2 published, (c) the model
+charges min(m,n)^2 only when it cannot fit in the 128 MiB VMEM,
+(d) a calibrated gemv streaming ceiling measured on the same device and
+published next to the paper peak, (e) a hard refusal marker whenever
+achieved exceeds either bound, and (f) ``--trace-dir`` captures a
+jax.profiler device trace for counter-level cross-checks.
 XLA's ``cost_analysis()['bytes accessed']`` is also printed as a
 diagnostic, but it counts a while_loop body ONCE regardless of trip
 count (verified), so it cannot serve as the per-iteration model.
@@ -61,6 +65,44 @@ def _settings(iters):
     # exact-residual branch never fires), matching the bytes model.
     return SolverSettings(abs_tol=1e-30, rel_tol=1e-30, max_iter=iters,
                           use_fused=False)
+
+
+def measure_gemv_ceiling(A_np, m, n, reps=4):
+    """Measured streaming ceiling: least-squares slope of K isolated
+    y = A @ x gemvs (fori_loop, HIGHEST precision), streaming A (m*n*4
+    bytes) once per iteration.  Constant dispatch/transfer cost cancels
+    in the slope."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    A = jnp.asarray(A_np)
+    x = jnp.ones((n,), A.dtype)
+
+    def loop(K):
+        @jax.jit
+        def fn(A, x):
+            def body(i, xv):
+                y = jnp.matmul(A, xv, precision=lax.Precision.HIGHEST)
+                return xv * (1.0 + 1e-9 * y[0])
+            return lax.fori_loop(0, K, body, x)
+        return fn
+
+    ks = np.array([25, 50, 100])
+    ts = []
+    for K in ks:
+        fn = loop(int(K))
+        np.asarray(fn(A, x))  # compile+warm
+        best = min(_timed(lambda: np.asarray(fn(A, x))) for _ in range(reps))
+        ts.append(best)
+    slope, _ = np.polyfit(ks, np.array(ts), 1)
+    return float(m * n * A.dtype.itemsize / max(slope, 1e-9) / 1e9)
+
+
+def _timed(thunk):
+    t0 = time.perf_counter()
+    thunk()
+    return time.perf_counter() - t0
 
 
 def measure(solver, f, g, iters):
@@ -144,14 +186,35 @@ def main():
             np.asarray(solver.solve(f, g, settings=st, _no_sync=True)["z"])
 
     # Bytes/iteration: the direct-inverse tall path streams A twice
-    # (A'y0 for the projection rhs, A x for y), the n x n Gram inverse
-    # once, and ~14 vector-length passes (prox, over-relax, dual update,
-    # residual norms).  Exact-residual iterations would add 2 more m*n
-    # streams but never fire at zero tolerance.
+    # (A'y0 for the projection rhs, A x for y) and ~14 vector-length
+    # passes (prox, over-relax, dual update, residual norms).  The
+    # min(m,n)^2 Gram inverse is counted per-iteration ONLY when it
+    # cannot live in VMEM (v5e: 128 MiB): measured round-4 evidence for
+    # residency at n=5000 (op = 95 MiB) — (a) the full solver iteration
+    # (595-627 us) is FASTER than the sum of its three matvecs timed in
+    # isolation at HBM streaming speed (702 us), (b) charging the op to
+    # HBM implies 799-842 GB/s, above this device's own measured gemv
+    # streaming ceiling (~710-730 GB/s, calibrated below) — impossible —
+    # while op-resident implies 639 GB/s (=90% of the ceiling), and
+    # (c) at n=6000 (op = 137 MiB > VMEM) the iteration jumps to 850 us,
+    # exactly the all-streamed model at the measured ceiling (736 GB/s).
+    # Exact-residual iterations would add 2 more m*n streams but never
+    # fire at zero tolerance.
     itemsize = 4
-    bytes_per_iter = (2 * m * n + n * n + 14 * (m + n)) * itemsize
+    k_dim = min(m, n)
+    vmem_bytes = 128 * 2**20  # v4/v5e/v5p/v6e all carry 128 MiB VMEM
+    op_bytes = k_dim * k_dim * itemsize
+    op_resident = op_bytes + 16 * 2**20 <= vmem_bytes
+    bytes_per_iter = (2 * m * n + (0 if op_resident else k_dim * k_dim)
+                      + 14 * (m + n)) * itemsize
     xla_total = xla_bytes_accessed(solver, f, g, int(ks[0]))
     achieved_gbps = bytes_per_iter / per_iter_s / 1e9
+
+    # Calibrated streaming ceiling: slope of K isolated y = A @ x gemvs
+    # (streams A once per iteration).  This is what the DEVICE actually
+    # sustains for this access pattern — the honest upper bound for any
+    # gemv-bound loop, typically below the paper HBM peak.
+    gemv_ceiling_gbps = measure_gemv_ceiling(A, m, n)
 
     kind = jax.devices()[0].device_kind
     peak = PEAK_GBPS.get(kind)
@@ -160,21 +223,46 @@ def main():
         "us_per_iter": round(per_iter_s * 1e6, 1),
         "bytes_per_iter_mb": round(bytes_per_iter / 1e6, 1),
         "bytes_source": "analytic_model",
+        "gram_inverse": ("vmem_resident" if op_resident else "hbm_streamed"),
         "xla_whole_solve_mb": (round(xla_total / 1e6, 1)
                                if xla_total is not None else None),
         "slope_fit_r2": round(r2, 5),
         "achieved_gbps": round(achieved_gbps, 1),
+        "measured_gemv_ceiling_gbps": round(gemv_ceiling_gbps, 1),
         "device_kind": kind,
         "backend": jax.devices()[0].platform,
     }
+    if gemv_ceiling_gbps > 0:
+        out["fraction_of_measured_ceiling"] = round(
+            achieved_gbps / gemv_ceiling_gbps, 3)
     if peak:
         out["peak_gbps"] = peak
         out["fraction_of_roofline"] = round(achieved_gbps / peak, 3)
         out["target"] = 0.8
-        if achieved_gbps > peak:
-            out["warning"] = ("achieved > peak: measurement or cost model "
-                              "invalid; do not publish this row")
+        if achieved_gbps > peak or achieved_gbps > 1.05 * gemv_ceiling_gbps:
+            out["warning"] = ("achieved > peak/ceiling: measurement or cost "
+                              "model invalid; do not publish this row")
     print(json.dumps(out))
+    if "warning" not in out:
+        _merge_results(out)
+
+
+def _merge_results(row):
+    """Upsert this row (keyed by metric) into results.json:roofline so the
+    published table is artifact-backed; refused rows are never stored."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "results.json")
+    data = {}
+    if os.path.exists(path):
+        with open(path) as fh:
+            data = json.load(fh)
+    rows = {r["metric"]: r for r in data.get("roofline", [])}
+    rows[row["metric"]] = row
+    data["roofline"] = list(rows.values())
+    with open(path, "w") as fh:
+        json.dump(data, fh, indent=2)
 
 
 if __name__ == "__main__":

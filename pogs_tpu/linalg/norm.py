@@ -27,7 +27,8 @@ def norm2_est(A, tol: float = NORM_EST_TOL, max_iter: int = NORM_EST_MAX_ITER, s
     def cond(carry):
         _, norm_est, norm_est_last, i = carry
         return jnp.logical_and(
-            i < max_iter, jnp.abs(norm_est - norm_est_last) >= tol * norm_est
+            jnp.logical_and(i < max_iter, norm_est > 0),
+            jnp.abs(norm_est - norm_est_last) >= tol * norm_est,
         )
 
     def body(carry):
@@ -36,8 +37,13 @@ def norm2_est(A, tol: float = NORM_EST_TOL, max_iter: int = NORM_EST_MAX_ITER, s
         x = armv(sx)
         normx = jnp.linalg.norm(x)
         norm_sx = jnp.linalg.norm(sx)
-        x = x / normx
-        return (x, normx / norm_sx, norm_est, i + 1)
+        # A zero operator (A = 0, or a padding-only shard) must yield
+        # ‖A‖₂ = 0, not 0/0 = NaN: an NaN estimate poisons nrm_s/nrm_r in
+        # the ADMM loop and aborts the solve NAN_FOUND at iteration 0.
+        safe = normx > 0
+        x = jnp.where(safe, x / jnp.where(safe, normx, 1.0), jnp.zeros_like(x))
+        est = jnp.where(norm_sx > 0, normx / norm_sx, jnp.zeros_like(normx))
+        return (x, est, norm_est, i + 1)
 
     # One unconditional first sweep, then iterate to tolerance.
     init = body((x0, jnp.asarray(0.0, dt), jnp.asarray(0.0, dt), 0))

@@ -43,6 +43,10 @@ def _as_dense(A):
 # while keeping every step MXU-shaped; init-only cost, no loop impact.
 _GRAM_BLOCK_ELEMS = 2 * 10**8
 _GRAM_BLOCK_ROWS = 4096
+# Explicit-inverse construction: above this Gram dimension the identity RHS
+# is solved in column panels (see init) to bound triangular-solve temps.
+_INV_BLOCK_MIN = 5120
+_INV_BLOCK_COLS = 2048
 
 
 def _gram(A, trans: bool):
@@ -88,9 +92,24 @@ class DirectProjector:
         L = jnp.linalg.cholesky(K)
         if self.method == "inverse":
             # SPD inverse via the Cholesky factor (never LU): K⁻¹ = L⁻ᵀ L⁻¹.
-            eye = jnp.eye(G.shape[0], dtype=dt)
-            Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
-            op = jnp.matmul(Linv.T, Linv, precision=_PRECISION)
+            k = G.shape[0]
+            if k <= _INV_BLOCK_MIN:
+                eye = jnp.eye(k, dtype=dt)
+                Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+                op = jnp.matmul(Linv.T, Linv, precision=_PRECISION)
+            else:
+                # XLA's blocked triangular_solve against a full k x k RHS
+                # materializes O(k/128) dynamic-update-slice temps of ~k^2
+                # bytes each — at k = 10000 that alone exceeded the 16 GB
+                # HBM (the round-4 XL OOM).  Solving K^-1 column-panel by
+                # column-panel caps the transient at one panel; init-only
+                # cost, identical loop body.
+                panels = []
+                for lo in range(0, k, _INV_BLOCK_COLS):
+                    hi = min(lo + _INV_BLOCK_COLS, k)
+                    eye_b = jnp.eye(k, hi - lo, k=-lo, dtype=dt)
+                    panels.append(jax.scipy.linalg.cho_solve((L, True), eye_b))
+                op = jnp.concatenate(panels, axis=1)
         else:
             op = L
         return {"op": op, "s": jnp.asarray(s, dt)}

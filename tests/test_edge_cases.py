@@ -49,8 +49,14 @@ def test_zero_matrix():
     f = FunctionVector(Function.SQUARE, 4, b=1.0)
     g = FunctionVector(Function.SQUARE, 3, b=2.0)
     out = solve_graph_form(A, f, g, abs_tol=1e-6, rel_tol=1e-6, max_iter=500)
+    # Regression: norm2_est(0) used to be 0/0 = NaN, aborting the solve
+    # NAN_FOUND at iteration 0 (it previously "passed" only because huge
+    # pre-fix equilibration scalings made the iteration-0 prox output
+    # land on 2.0 by accident).
+    assert out["status"] == 0
     assert np.all(np.isfinite(out["x"]))
     np.testing.assert_allclose(out["x"], 2.0, atol=1e-2)
+    np.testing.assert_allclose(out["y"], 0.0, atol=1e-2)
 
 
 def test_huge_lambda_kills_x():
