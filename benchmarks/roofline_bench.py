@@ -57,6 +57,19 @@ PEAK_GBPS = {
     "TPU v6e": 1640.0,
 }
 
+# Per-core VMEM (bytes) for the Gram-inverse residency decision.  v2/v3
+# carry 16 MiB; v4 onward 128 MiB.  Unknown kinds (cpu/gpu backends) get
+# None → conservative op_resident=False (charge the inverse to HBM).
+VMEM_BYTES = {
+    "TPU v2": 16 * 2**20,
+    "TPU v3": 16 * 2**20,
+    "TPU v4": 128 * 2**20,
+    "TPU v5 lite": 128 * 2**20,
+    "TPU v5p": 128 * 2**20,
+    "TPU v6 lite": 128 * 2**20,
+    "TPU v6e": 128 * 2**20,
+}
+
 
 def _settings(iters):
     from pogs_tpu.types import SolverSettings
@@ -95,8 +108,17 @@ def measure_gemv_ceiling(A_np, m, n, reps=4):
         np.asarray(fn(A, x))  # compile+warm
         best = min(_timed(lambda: np.asarray(fn(A, x))) for _ in range(reps))
         ts.append(best)
-    slope, _ = np.polyfit(ks, np.array(ts), 1)
-    return float(m * n * A.dtype.itemsize / max(slope, 1e-9) / 1e9)
+    ts = np.array(ts)
+    slope, intercept = np.polyfit(ks, ts, 1)
+    fit = np.polyval([slope, intercept], ks)
+    r2 = 1.0 - float(((ts - fit) ** 2).sum()
+                     / max(((ts - ts.mean()) ** 2).sum(), 1e-30))
+    if slope <= 0:
+        # A negative/zero slope means the measurement is noise-dominated:
+        # no ceiling can be quoted (clamping would yield an astronomical
+        # bound that silently defeats the refusal check downstream).
+        return None, r2
+    return float(m * n * A.dtype.itemsize / slope / 1e9), r2
 
 
 def _timed(thunk):
@@ -202,9 +224,14 @@ def main():
     # fire at zero tolerance.
     itemsize = 4
     k_dim = min(m, n)
-    vmem_bytes = 128 * 2**20  # v4/v5e/v5p/v6e all carry 128 MiB VMEM
+    kind = jax.devices()[0].device_kind
+    peak = PEAK_GBPS.get(kind)
+    vmem_bytes = VMEM_BYTES.get(kind)
     op_bytes = k_dim * k_dim * itemsize
-    op_resident = op_bytes + 16 * 2**20 <= vmem_bytes
+    # Unknown device kind (cpu/gpu backends): conservative — charge the
+    # Gram inverse to HBM every iteration (op_resident=False).
+    op_resident = (vmem_bytes is not None
+                   and op_bytes + 16 * 2**20 <= vmem_bytes)
     bytes_per_iter = (2 * m * n + (0 if op_resident else k_dim * k_dim)
                       + 14 * (m + n)) * itemsize
     xla_total = xla_bytes_accessed(solver, f, g, int(ks[0]))
@@ -214,10 +241,8 @@ def main():
     # (streams A once per iteration).  This is what the DEVICE actually
     # sustains for this access pattern — the honest upper bound for any
     # gemv-bound loop, typically below the paper HBM peak.
-    gemv_ceiling_gbps = measure_gemv_ceiling(A, m, n)
+    gemv_ceiling_gbps, ceiling_r2 = measure_gemv_ceiling(A, m, n)
 
-    kind = jax.devices()[0].device_kind
-    peak = PEAK_GBPS.get(kind)
     out = {
         "metric": f"roofline_lasso_{m}x{n}",
         "us_per_iter": round(per_iter_s * 1e6, 1),
@@ -228,22 +253,36 @@ def main():
                                if xla_total is not None else None),
         "slope_fit_r2": round(r2, 5),
         "achieved_gbps": round(achieved_gbps, 1),
-        "measured_gemv_ceiling_gbps": round(gemv_ceiling_gbps, 1),
+        "measured_gemv_ceiling_gbps": (round(gemv_ceiling_gbps, 1)
+                                       if gemv_ceiling_gbps else None),
+        "gemv_ceiling_fit_r2": round(ceiling_r2, 5),
         "device_kind": kind,
         "backend": jax.devices()[0].platform,
     }
-    if gemv_ceiling_gbps > 0:
+    # Refusal checks apply on EVERY backend (ADVICE r4: previously nested
+    # under `if peak:` so unknown device kinds could never refuse).
+    if gemv_ceiling_gbps is None or ceiling_r2 < 0.95:
+        out["warning"] = ("gemv ceiling slope non-positive or fit poor "
+                          f"(r2={ceiling_r2:.3f}): ceiling measurement "
+                          "invalid; do not publish this row")
+    else:
         out["fraction_of_measured_ceiling"] = round(
             achieved_gbps / gemv_ceiling_gbps, 3)
+        if achieved_gbps > 1.05 * gemv_ceiling_gbps:
+            out["warning"] = ("achieved > measured ceiling: measurement or "
+                              "cost model invalid; do not publish this row")
     if peak:
         out["peak_gbps"] = peak
         out["fraction_of_roofline"] = round(achieved_gbps / peak, 3)
         out["target"] = 0.8
-        if achieved_gbps > peak or achieved_gbps > 1.05 * gemv_ceiling_gbps:
-            out["warning"] = ("achieved > peak/ceiling: measurement or cost "
+        if achieved_gbps > peak:
+            out["warning"] = ("achieved > paper peak: measurement or cost "
                               "model invalid; do not publish this row")
     print(json.dumps(out))
-    if "warning" not in out:
+    # Publish only clean TPU rows: the results.json roofline table is keyed
+    # by metric name alone, so a cpu/gpu run must never overwrite the TPU
+    # rows (ADVICE r4 medium).
+    if "warning" not in out and out["backend"] == "tpu" and peak:
         _merge_results(out)
 
 

@@ -353,8 +353,17 @@ def _kernel_body(
             eps_pri = sqm * abs_tol + rel_tol * jnp.maximum(b_norm, _nrm(s_s))
             eps_dua = sqn * abs_tol + rel_tol * jnp.maximum(_nrm(aty), c_norm)
             eps_cone = sqm * abs_tol + rel_tol * jnp.maximum(one, _nrm(y_s))
-            gap = jnp.abs(jnp.sum(c * x_s) + jnp.sum(b * y_s))
-            eps_gap = abs_tol + rel_tol * jnp.maximum(one, gap)
+            cx_s = jnp.sum(c * x_s)
+            by_s = jnp.sum(b * y_s)
+            gap = jnp.abs(cx_s + by_s)
+            # Scale-invariant gap test — twin of hsde.py (see rationale
+            # there): relative to max(1, |c'x|, |b'y|, gap), the standard
+            # conic criterion, instead of the reference's absolute-for-
+            # small-gap max(1, gap) form which is unattainable in f32 on
+            # objectives of magnitude >> 1.
+            eps_gap = abs_tol + rel_tol * jnp.maximum(
+                jnp.maximum(one, gap),
+                jnp.maximum(jnp.abs(cx_s), jnp.abs(by_s)))
             curr = r_pri + r_dua + r_dua_cone + gap
             alpha_pos = jnp.where(
                 curr <= prev_resid * 0.99,

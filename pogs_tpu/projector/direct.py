@@ -110,6 +110,11 @@ class DirectProjector:
                     eye_b = jnp.eye(k, hi - lo, k=-lo, dtype=dt)
                     panels.append(jax.scipy.linalg.cho_solve((L, True), eye_b))
                 op = jnp.concatenate(panels, axis=1)
+                # cho_solve's two triangular solves run at default precision
+                # and don't guarantee an exactly symmetric result, unlike the
+                # small-k Linv.T @ Linv path; symmetrize so both paths agree
+                # (and the operator is SPD to the bit) across the threshold.
+                op = 0.5 * (op + op.T)
         else:
             op = L
         return {"op": op, "s": jnp.asarray(s, dt)}

@@ -590,8 +590,24 @@ def hsde_solve(
             eps_dua = sqn * abs_tol + rel_tol * jnp.maximum(at_norm, c_norm)
             y_norm = jnp.linalg.norm(y_s)
             eps_cone = sqm * abs_tol + rel_tol * jnp.maximum(1.0, y_norm)
-            gap = jnp.abs(jnp.vdot(c, x_s) + jnp.vdot(b, y_s) + quad)
-            eps_gap = abs_tol + rel_tol * jnp.maximum(1.0, gap)
+            c_dot_x = jnp.vdot(c, x_s) + quad
+            b_dot_y = jnp.vdot(b, y_s)
+            gap = jnp.abs(c_dot_x + b_dot_y)
+            # Scale-invariant gap test (deliberate deviation from
+            # pogs.cpp:1767, whose eps_gap = abs + rel*max(1, gap) is an
+            # ABSOLUTE criterion for gap < 1: on an objective of magnitude
+            # |c'x| ~ 10 it demands ~6.5 significant digits of duality gap,
+            # which sits below the float32 iterate floor — the reference
+            # only ever runs in f64.  We measure the gap relative to the
+            # objective magnitudes, the standard conic criterion
+            # (SCS: |c'x + b'y| <= eps * max(1, |c'x|, |b'y|)); including
+            # gap in the max keeps this a strict superset of the
+            # reference's test.
+            gap_scale = jnp.maximum(
+                jnp.maximum(jnp.asarray(1.0, dt), gap),
+                jnp.maximum(jnp.abs(c_dot_x), jnp.abs(b_dot_y)),
+            )
+            eps_gap = abs_tol + rel_tol * gap_scale
 
             curr = r_pri + r_dua + r_dua_cone + gap
             alpha = jnp.where(
@@ -713,14 +729,19 @@ def hsde_solve(
                     aty_p = armv(y_p)
                     r_dua_p = jnp.linalg.norm(aty_p + c)
                     y_cone_p = jnp.linalg.norm(y_p - Ky_dual.project(y_p))
-                    gap_p = jnp.abs(jnp.vdot(c, x_p) + jnp.vdot(b, y_p))
+                    cx_p = jnp.vdot(c, x_p)
+                    by_p = jnp.vdot(b, y_p)
+                    gap_p = jnp.abs(cx_p + by_p)
                     eps_pri_p = sqm * abs_tol + rel_tol * jnp.maximum(
                         b_norm, jnp.linalg.norm(s_p))
                     eps_dua_p = sqn * abs_tol + rel_tol * jnp.maximum(
                         jnp.linalg.norm(aty_p), c_norm)
                     eps_cone_p = sqm * abs_tol + rel_tol * jnp.maximum(
                         1.0, jnp.linalg.norm(y_p))
-                    eps_gap_p = abs_tol + rel_tol * jnp.maximum(1.0, gap_p)
+                    # Same scale-invariant gap test as the main check.
+                    eps_gap_p = abs_tol + rel_tol * jnp.maximum(
+                        jnp.maximum(jnp.asarray(1.0, dt), gap_p),
+                        jnp.maximum(jnp.abs(cx_p), jnp.abs(by_p)))
                     ok = ((r_pri_p <= eps_pri_p) & (r_dua_p <= eps_dua_p)
                           & (y_cone_p <= eps_cone_p) & (gap_p <= eps_gap_p)
                           & jnp.all(jnp.isfinite(x_p))

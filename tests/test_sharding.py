@@ -171,6 +171,42 @@ def test_row_sharded_cone_solve(mesh8):
                                                  rel=1e-4, abs=1e-4)
 
 
+def test_row_sharded_cone_solve_dryrun_config(mesh24):
+    """Regression for the round-4 red multichip gate: the dryrun's EXACT
+    config — a 64-row SOC ball (nc=63) row-sharded on the (2,4) mesh at
+    abs/rel 1e-5 in f32.  The SOC radius row is all-zero in A, so the
+    effective-count Sinkhorn (equil.py) leaves the problem with an
+    objective magnitude ~|c'x| >> 1; the reference's absolute gap test
+    eps_gap = abs + rel*max(1, gap) (pogs.cpp:1767) then demands more
+    significant digits than the f32 iterate floor provides and the solve
+    stalls at MAX_ITER.  The scale-invariant gap criterion
+    (hsde.py::hsde_solve, SCS convention) must converge this well under
+    100 iterations, matching the closed-form optimum."""
+    from pogs_tpu.types import Cone, ConeConstraint
+    from pogs_tpu.solver.cone import ConeSolver
+
+    rng = np.random.default_rng(0)
+    # Mirror of __graft_entry__.dryrun_multichip: rows=4 → nc = 2*4*8-1.
+    nc = 63
+    # The dryrun draws from the same generator stream; seeds differ but the
+    # structure (standard normal x0/c, radius 1.5) is identical.
+    x0 = rng.standard_normal(nc).astype(np.float32)
+    c = rng.standard_normal(nc).astype(np.float32)
+    r = 1.5
+    A_soc = np.vstack([np.zeros((1, nc)), -np.eye(nc)]).astype(np.float32)
+    b = np.concatenate([[r], -x0]).astype(np.float32)
+    A_sh = jax.device_put(jnp.asarray(A_soc),
+                          NamedSharding(mesh24, P("rows", None)))
+    st = SolverSettings(abs_tol=1e-5, rel_tol=1e-5)
+    res = ConeSolver(A_sh, Ky=[ConeConstraint(Cone.SOC, range(nc + 1))],
+                     settings=st).solve(b, c)
+
+    expect = float(c @ x0 - r * np.linalg.norm(c))
+    assert res.status == Status.SUCCESS, f"dryrun-config SOC: {res.status}"
+    assert int(res.final_iter) < 200
+    assert float(res.optval) == pytest.approx(expect, rel=1e-4, abs=1e-4)
+
+
 def test_batched_cone_solve_matches_single():
     """Scenario batch of SOC projections problems: vmapped HSDE == per-
     problem solves."""
