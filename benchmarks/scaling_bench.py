@@ -67,6 +67,181 @@ def collective_counts(solver, f, g, rho0=1.0):
     }
 
 
+def measure_loop_collective_shapes(n_devices=None):
+    """Lower the row-plan solve on the virtual mesh and return the
+    while-body all-reduce structure: (count of n-length vector
+    all-reduces, count of scalar all-reduces).  This is MEASURED from
+    the SPMD-partitioned HLO, not assumed; the counts are
+    shape-independent (the vector ops are the two Aᵀ-side psums of a
+    length-n operand, the scalar one is the bundled residual-norm
+    reduction)."""
+    import re as _re
+
+    import jax
+
+    # The collective structure must be measured on a MULTI-device mesh;
+    # pin the virtual CPU backend (the axon TPU plugin overrides the
+    # JAX_PLATFORMS env var, and the tunneled TPU is a single chip).
+    try:
+        from jax._src import xla_bridge as _xb
+        if not _xb.backends_are_initialized():
+            jax.config.update("jax_platforms", "cpu")
+            jax.config.update("jax_num_cpu_devices", 8)
+    except Exception:
+        pass
+    if len(jax.devices()) < 2:
+        raise RuntimeError(
+            "measure_loop_collective_shapes needs a multi-device mesh; "
+            "run under JAX_PLATFORMS=cpu "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=8 before "
+            "any other jax use")
+
+    import jax.numpy as jnp
+
+    from pogs_tpu.types import Function, FunctionVector, SolverSettings
+    from pogs_tpu.parallel.mesh import make_mesh, shard_matrix
+    from pogs_tpu.solver.graph import GraphFormSolver, _get_solve_fn
+
+    D = n_devices or len(jax.devices())
+    m, n = 256 * D, 128
+    rng = np.random.default_rng(7)
+    A = rng.standard_normal((m, n)).astype(np.float32)
+    b = rng.standard_normal(m).astype(np.float32)
+    f = FunctionVector(Function.SQUARE, m, b=b, dtype=jnp.float32)
+    g = FunctionVector(Function.ABS, n, c=0.5, dtype=jnp.float32)
+    st = SolverSettings(abs_tol=1e-30, rel_tol=1e-30, max_iter=8,
+                        use_fused=False)
+    mesh = make_mesh((D,), ("rows",))
+    solver = GraphFormSolver(shard_matrix(jnp.asarray(A), mesh),
+                             dtype=jnp.float32, settings=st)
+    solver.init()
+    fn = _get_solve_fn((m, n), solver.dtype, f.h, g.h, st, solver.projector,
+                       solver.direct_method, False, False, False, fused=False)
+    f.to_device()
+    g.to_device()
+    txt = fn.lower(solver._init_state, tuple(f.params), tuple(g.params),
+                   1.0, {}).compile().as_text()
+    counts = {"main_vector": 0, "main_small": 0,
+              "exact_branch_vector": 0, "exact_branch_small": 0}
+    for line in txt.splitlines():
+        # Def lines look like `%x = f32[128]{0} all-reduce(...)` or, for
+        # XLA's bundled reductions, `%x = (f32[], f32[3]{0}, ...) all-reduce(`
+        # — capture everything between '= ' and ' all-reduce('.  Each OP is
+        # one collective regardless of how many tuple members ride it.
+        mm = _re.search(r"= (.+?) all-reduce\(", line)
+        if not mm or "while/body" not in line:
+            continue
+        shape = mm.group(1)
+        kind = "vector" if f"[{n}]" in shape else "small"
+        # The exact-residual branch (lax.cond) only executes when the
+        # approximate residuals are within 10x of tolerance
+        # (pogs.cpp:310-336) — a handful of iterations per solve.
+        scope = "exact_branch" if "/cond/" in line else "main"
+        counts[f"{scope}_{kind}"] += 1
+    return counts
+
+
+def ici_model():
+    """Analytic ICI projection (VERDICT r4 item 6): turn the MEASURED
+    per-iteration collective structure into a bytes-over-ICI model and
+    project weak-scaling efficiency on real TPU v5e slices, where the
+    virtual CPU mesh (shared cores ⇒ ~1/D by construction) cannot
+    measure it.
+
+    Model per ADMM iteration of the row plan, per device:
+      compute   t_comp = 2·(m/D)·n·4 B  /  B_hbm   (the two A-streams;
+                the Gram inverse is VMEM-resident at the modeled sizes,
+                and the ~14 vector-length passes are < 1% of 2mn)
+      comms     each n-vector all-reduce: ring cost 2·(D−1)/D·n·4 B at
+                the per-chip ICI bandwidth, plus per-hop latency;
+                scalar all-reduces are pure latency.
+    Efficiency = t_comp / (t_comp + t_ici).  All hardware constants are
+    public figures; B_hbm is this repo's own measured streaming ceiling
+    (roofline artifact), which is the apples-to-apples numerator since
+    the 1-device baseline runs at that ceiling."""
+    counts = measure_loop_collective_shapes()
+    # Steady-state iterations run only the main path; the exact-residual
+    # branch fires when within 10x of tolerance (a handful of iterations
+    # per solve) and is reported separately, not charged per iteration.
+    n_vec = counts["main_vector"]
+    n_small = counts["main_small"]
+
+    # Public v5e figures: 1600 Gbps ICI per chip (bidirectional) = 200
+    # GB/s; ~1 us per-hop collective latency (order-of-magnitude ICI
+    # figure used by the scaling book's latency model).  HBM streaming:
+    # this repo's measured gemv ceiling on the benched v5e chip
+    # (roofline artifact, 668-736 GB/s depending on shape) — use the
+    # midpoint; paper peak is 819.
+    B_ICI = 200e9
+    HOP_LAT_S = 1e-6
+    B_HBM = 700e9
+    ITEM = 4
+
+    def project(m_per_dev, n, D, hosts):
+        t_comp = 2.0 * m_per_dev * n * ITEM / B_HBM
+        ring_bytes = 2.0 * (D - 1) / D * n * ITEM
+        # Ring all-reduce: 2(D−1) steps, each one hop of latency.  (A
+        # dimension-ordered torus reduction needs fewer hops — this is the
+        # conservative flat-ring bound.)
+        hop_s = 2 * (D - 1) * HOP_LAT_S
+        t_ici = (n_vec * (ring_bytes / B_ICI + hop_s) + n_small * hop_s)
+        return {
+            "devices": D, "hosts": hosts, "m_per_device": m_per_dev, "n": n,
+            "t_compute_us": round(t_comp * 1e6, 2),
+            "t_ici_us": round(t_ici * 1e6, 2),
+            "projected_efficiency": round(t_comp / (t_comp + t_ici), 4),
+        }
+
+    projections = [
+        # One v5e host (8 chips) and the BASELINE 2-host slice (16
+        # chips), at the benched roofline shape per device (10000x5000)
+        # and at a smaller 2048x512 per-device block for contrast.
+        project(10000, 5000, 8, 1),
+        project(10000, 5000, 16, 2),
+        project(10000, 5000, 256, 32),
+        project(2048, 512, 8, 1),
+        project(2048, 512, 16, 2),
+    ]
+    return {
+        "measured_loop_collectives": {
+            "main_path_vector_all_reduce_ops_per_iter": n_vec,
+            "main_path_small_all_reduce_ops_per_iter": n_small,
+            "exact_branch_extra_ops": (counts["exact_branch_vector"]
+                                       + counts["exact_branch_small"]),
+            "note": "ops, not payload members — XLA's combiner bundles "
+                    "same-point reductions into tuple all-reduces (the "
+                    "solver stacks its m-part norm reductions "
+                    "specifically to enable this, solver/admm.py); the "
+                    "exact-residual branch only fires within 10x of "
+                    "tolerance and is not charged per iteration",
+            "source": "while-body all-reduce ops of the SPMD-partitioned "
+                      "HLO on the 8-device mesh (this file, "
+                      "measure_loop_collective_shapes)",
+        },
+        "assumptions": {
+            "ici_bandwidth_gbps_per_chip": 200.0,
+            "ici_hop_latency_us": 1.0,
+            "hbm_streaming_gbps": 700.0,
+            "hbm_source": "measured gemv ceiling on the benched v5e chip "
+                          "(results.json:roofline, 668-736 GB/s); paper "
+                          "peak 819",
+            "collective_model": "ring all-reduce: 2(D-1)/D payload "
+                                "factor + 2(D-1) hop latencies",
+            "caveat": "projection, not measurement — multi-chip hardware "
+                      "is unavailable in this environment; the virtual "
+                      "CPU mesh shares physical cores so its efficiency "
+                      "trends to 1/D by construction",
+        },
+        "projections": projections,
+        "baseline_target": {
+            "statement": ">=80% weak-scaling efficiency on a 2-host slice",
+            "projected_at_roofline_shape": next(
+                p["projected_efficiency"] for p in projections
+                if p["hosts"] == 2 and p["n"] == 5000),
+        },
+    }
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -142,12 +317,40 @@ def main():
         print(json.dumps(summary))
 
     # MULTICHIP-style artifact (VERDICT weak-3): recorded per-mesh rows
-    # including the collective structure of the lowered solve programs.
+    # including the collective structure of the lowered solve programs,
+    # plus the analytic ICI projection (VERDICT r4 item 6).
+    model = ici_model()
+    print(json.dumps({"ici_model_2host_projection":
+                      model["baseline_target"]}))
     with open(ARTIFACT, "w") as fh:
         json.dump({"rows": rows, "summary": summary,
+                   "ici_model": model,
                    "backend": jax.devices()[0].platform}, fh, indent=2)
     print(f"wrote {ARTIFACT}")
 
 
+def main_ici_only():
+    """Refresh only the ici_model section of the artifact (keeps the
+    recorded timing rows)."""
+    data = {}
+    if os.path.exists(ARTIFACT):
+        with open(ARTIFACT) as fh:
+            data = json.load(fh)
+    data["ici_model"] = ici_model()
+    with open(ARTIFACT, "w") as fh:
+        json.dump(data, fh, indent=2)
+    print(json.dumps(data["ici_model"]["baseline_target"]))
+    print(f"wrote {ARTIFACT} (ici_model only)")
+
+
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    # `python benchmarks/scaling_bench.py` puts benchmarks/ (not the repo
+    # root) on sys.path; make pogs_tpu importable either way.
+    _sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    if "--ici-model" in _sys.argv:
+        main_ici_only()
+    else:
+        main()

@@ -179,9 +179,17 @@ def admm_loop(
         # --- Gap / tolerances (pogs.cpp:266-273) ---------------------------
         xm = xin - x12  # x-part of zprev - zt - z12; equals mu/rho
         ym = yin - y12
-        gap = jnp.abs(jnp.vdot(xm, x12) + jnp.vdot(ym, y12))
-        eps_gap = sqrtmn_atol + rel_tol * _nrm_pair(xm, ym) * _nrm_pair(x12, y12)
-        eps_pri = sqrtm_atol + rel_tol * nrm(y12)
+        # The m-part reductions are STACKED into one (3, m) reduce: on the
+        # row-sharded plan each separate norm/dot lowers to its own scalar
+        # all-reduce (pure ICI latency per iteration); one stacked reduce
+        # is a single all-reduce of f32[3].  The x-parts are replicated on
+        # that plan, so their reductions are collective-free.
+        ym2, y12_2, ym_y12 = jnp.sum(
+            jnp.stack([ym * ym, y12 * y12, ym * y12]), axis=1)
+        gap = jnp.abs(jnp.vdot(xm, x12) + ym_y12)
+        eps_gap = sqrtmn_atol + rel_tol * (
+            jnp.sqrt(_nrm2(xm) + ym2) * jnp.sqrt(_nrm2(x12) + y12_2))
+        eps_pri = sqrtm_atol + rel_tol * jnp.sqrt(y12_2)
         eps_dua = rho * (sqrtn_atol + rel_tol * nrm(xm))
 
         # --- Over-relaxed projection input (pogs.cpp:276-278) --------------
@@ -200,8 +208,14 @@ def admm_loop(
         x_new, y_new = project_fn(x_or, y_or, proj_tol, xprev)
 
         # --- Approximate residuals (pogs.cpp:299-308) ----------------------
-        nrm_s = rho * (norm_A * nrm(yprev - y_new) + nrm(xprev - x_new))
-        nrm_r = norm_A * nrm(x12 - x_new) + nrm(y12 - y_new)
+        # Same stacking trick: the three m-part reductions (two residual
+        # norms + the NaN-probe sum of y_new) ride one all-reduce.
+        dyp = yprev - y_new
+        dy12 = y12 - y_new
+        dyp2, dy12_2, y_new_sum = jnp.sum(
+            jnp.stack([dyp * dyp, dy12 * dy12, y_new]), axis=1)
+        nrm_s = rho * (norm_A * jnp.sqrt(dyp2) + nrm(xprev - x_new))
+        nrm_r = norm_A * nrm(x12 - x_new) + jnp.sqrt(dy12_2)
 
         # --- Exact residuals only near tolerance (pogs.cpp:310-336) --------
         near = jnp.logical_and(nrm_r < 10 * eps_pri, nrm_s < 10 * eps_dua)
@@ -244,7 +258,7 @@ def admm_loop(
         nan_found = jnp.logical_not(
             jnp.logical_and(
                 jnp.isfinite(nrm_r),
-                jnp.isfinite(jnp.sum(x_new)) & jnp.isfinite(jnp.sum(y_new)),
+                jnp.isfinite(jnp.sum(x_new)) & jnp.isfinite(y_new_sum),
             )
         )
         # MONOTONE done: under vmap the loop runs until ALL lanes finish, and
