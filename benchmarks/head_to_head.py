@@ -121,6 +121,12 @@ def run_reference(name, p, reps):
     the protocol behind its README table)."""
     if not ref.available():
         return None
+    m_, n_ = p["A"].shape
+    if m_ * n_ > 13e6:
+        # The reference's per-call init is O(m n^2) on this image's
+        # unthreaded netlib BLAS — the 10000x5000 rung alone would cost
+        # hours per solve.  The 5000x2500 rung (minutes) stays in.
+        return None
     f, g = _fg(name, p, np.float64)
     A = p["A"]
     out = ref.ref_solve_graph(A, f, g, abs_tol=1e-4, rel_tol=1e-3)
@@ -140,9 +146,24 @@ def run_pogs_tpu(name, p, reps):
 
     from pogs_tpu import GraphFormSolver, SolverSettings
 
-    f, g = _fg(name, p, jnp.float32)
-    settings = SolverSettings(abs_tol=1e-4, rel_tol=1e-3, gap_stop=False)
-    solver = GraphFormSolver(p["A"].astype(np.float32), dtype=jnp.float32,
+    # Hinge SVM under-resolves at the scaled-space 1e-4/1e-3 protocol:
+    # ADMM's residual test passes while the objective is still ~10% high
+    # (the REFERENCE binary shows the same ~10% at its own defaults —
+    # recorded by check_gap_guard as a warning on its row).  Our svm row
+    # runs the tolerance hinge actually needs (f64, 1e-6) and is labeled
+    # with its protocol, so the published time is a time-to-SOLVED.
+    tight = name == "svm"
+    dtype = jnp.float64 if tight else jnp.float32
+    np_dtype = np.float64 if tight else np.float32
+    tols = dict(abs_tol=1e-6, rel_tol=1e-6) if tight else \
+        dict(abs_tol=1e-4, rel_tol=1e-3)
+    x64_prev = jax.config.read("jax_enable_x64")
+    if tight:
+        jax.config.update("jax_enable_x64", True)
+
+    f, g = _fg(name, p, dtype)
+    settings = SolverSettings(gap_stop=False, max_iter=20000, **tols)
+    solver = GraphFormSolver(p["A"].astype(np_dtype), dtype=dtype,
                              settings=settings)
     res = solver.solve(f, g)  # warmup/compile + result for objective
     x = np.asarray(res.x)
@@ -159,12 +180,20 @@ def run_pogs_tpu(name, p, reps):
 
     batch(0)  # ramp
     ms = float(np.min([batch(1), batch(2), batch(3)]))
-    import jax as _jax
+    if tight:
+        jax.config.update("jax_enable_x64", x64_prev)
 
-    return {"solver": "pogs_tpu", "ms": ms,
-            "objective": canonical_objective(name, p, x),
-            "iterations": int(res.final_iter), "status": int(res.status),
-            "backend": _jax.default_backend()}
+    row = {"solver": "pogs_tpu", "ms": ms,
+           "objective": canonical_objective(name, p, x),
+           "iterations": int(res.final_iter), "status": int(res.status),
+           "backend": jax.default_backend()}
+    if tight:
+        row["tol"] = "1e-6/1e-6"
+        row["dtype"] = "float64"
+        row["note"] = ("hinge needs tighter-than-protocol tolerance; at "
+                       "1e-4/1e-3 ADMM (ours AND the reference binary) "
+                       "lands ~10% high")
+    return row
 
 
 def run_pogs_native(name, p, reps):

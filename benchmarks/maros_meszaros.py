@@ -321,6 +321,15 @@ def kkt_certificate(p, x):
     idx = np.flatnonzero(act)
     lam = np.zeros(m)
     if idx.size:
+        # Exactly duplicated active rows (degenerate instances) make the
+        # dual least-squares stall in lsq_linear; merge duplicates first —
+        # duplicated constraints share dual mass, so assigning the merged
+        # multiplier to one representative leaves A_actᵀλ unchanged.
+        rows_act = np.ascontiguousarray(A_bar[idx])
+        _, uniq_pos = np.unique(
+            rows_act.view([("", rows_act.dtype)] * rows_act.shape[1]),
+            return_index=True)
+        idx = idx[np.sort(uniq_pos)]
         lo = np.where(idx < n_eq, -np.inf, 0.0)
         sol = lsq_linear(A_bar[idx].T, -g, bounds=(lo, np.inf),
                          max_iter=500, tol=1e-14)
@@ -462,6 +471,133 @@ def solve_with_slsqp(p):
 
 
 # ---------------------------------------------------------------------------
+# maros_full: the >=50-instance suite (VERDICT r4 item 5).
+#
+# The real QPS collection is not downloadable here (no network), so the
+# suite is built from the collection's REPRODUCIBLE recipe families —
+# CVXQP{1,2,3} (CUTE generator, exact reproduction confirmed against the
+# published S/M optima), AUG2D-structure grid QPs (KKT-exact oracle),
+# DUAL-structure ill-conditioned simplex QPs, the HS/TAME classics with
+# published optima — across a ladder of sizes and degeneracy variants.
+# The PASS CRITERION is solver-independent: the KKT certificate
+# (kkt_certificate above: stationarity/primal/complementarity residuals
+# from x alone) must be <= 1e-6, AND where a published/closed-form
+# optimum exists the relative objective gap must be <= 1e-6.  This is
+# stronger than matching a published table: a certificate at 1e-6 proves
+# near-optimality of a convex QP regardless of any oracle.
+# ---------------------------------------------------------------------------
+
+# Published optima (Maros–Mészáros tables) for the exactly-reproduced
+# CVXQP instances, cross-confirmed by scipy SLSQP at the S sizes
+# (tests/test_real_data.py).
+CVXQP_PUBLISHED = {
+    ("CVXQP1", 100): 1.1590718e4,
+    ("CVXQP2", 100): 8.1209405e3,
+    ("CVXQP3", 100): 1.1943432e4,
+    ("CVXQP1", 1000): 1.0875116e6,
+}
+
+
+def full_problems():
+    """The maros_full instance list (>= 50)."""
+    probs = []
+    # HS/TAME classics (published optima).
+    probs.extend(problems())
+    # CVXQP ladder: 3 variants x 6 sizes (+ published optima where the
+    # instance is literally the collection's).
+    for variant in (1, 2, 3):
+        for n in (40, 80, 100, 200, 400, 600, 1000):
+            opt = CVXQP_PUBLISHED.get((f"CVXQP{variant}", n), np.nan)
+            probs.append(cvxqp_problem(
+                variant, n, opt,
+                name=f"CVXQP{variant}_n{n}"))
+    # Degeneracy stressors: duplicated (linearly dependent) rows.
+    for variant in (1, 2, 3):
+        for n in (100, 200):
+            probs.append(cvxqp_problem(
+                variant, n, np.nan,
+                name=f"CVXQP{variant}_n{n}_DEGEN",
+                duplicate_rows=max(2, n // 10)))
+    # AUG2D-structure grid QPs (exact KKT oracle baked into optval).
+    for g in ((8, 8), (10, 10), (12, 12), (14, 14), (16, 16), (20, 20),
+              (24, 16)):
+        probs.append(aug2d_style(*g))
+    # DUAL-structure dense ill-conditioned simplex QPs; names carry the
+    # condition-number exponent so the (n, cond) grid stays distinct.
+    for n in (100, 200, 300, 400):
+        for cond in (1e4, 1e6, 1e8):
+            p = dual_style(n, cond=cond, seed=int(np.log10(cond)))
+            p["name"] = f"DUAL_{n}_c1e{int(np.log10(cond))}"
+            probs.append(p)
+    return probs
+
+
+def run_full(abs_tol=1e-6, rel_tol=1e-6, record=False):
+    """Run the maros_full suite; print one JSON row per instance and a
+    summary; with record=True upsert results.json:maros_full."""
+    import time as _time
+
+    rows = []
+    for p in full_problems():
+        n = int(p["c"].shape[0])
+        max_iter = 2000 if n <= 300 else 400
+        t0 = _time.perf_counter()
+        try:
+            r = solve_with_pogs_tpu(p, abs_tol=abs_tol, rel_tol=rel_tol,
+                                    max_iter=max_iter)
+            cold_ms = (_time.perf_counter() - t0) * 1e3
+            t1 = _time.perf_counter()
+            r = solve_with_pogs_tpu(p, abs_tol=abs_tol, rel_tol=rel_tol,
+                                    max_iter=max_iter)
+            warm_ms = (_time.perf_counter() - t1) * 1e3
+            cert = kkt_certificate(p, r["x"])
+            row = {
+                "problem": p["name"], "n": n,
+                "m_rows": int(p["A"].shape[0]),
+                "objective": float(r["objective"]),
+                "iterations": int(r["iterations"]),
+                "status": int(r["status"]),
+                "cold_ms": round(cold_ms, 2), "warm_ms": round(warm_ms, 2),
+                "kkt_max": round(max(cert.values()), 12),
+            }
+            ok = row["status"] == 0 and row["kkt_max"] <= 1e-6
+            if np.isfinite(p["optval"]):
+                gap = abs(row["objective"] - p["optval"]) / max(
+                    abs(p["optval"]), 1.0)
+                row["published_optval"] = p["optval"]
+                row["obj_rel_gap"] = round(gap, 12)
+                ok = ok and gap <= 1e-6
+            row["pass"] = bool(ok)
+        except Exception as e:  # noqa: BLE001 - per-row degradation
+            row = {"problem": p["name"], "n": n,
+                   "error": f"{type(e).__name__}: {e}", "pass": False}
+        rows.append(row)
+        print(json.dumps(row))
+    n_pass = sum(r["pass"] for r in rows)
+    summary = {
+        "instances": len(rows),
+        "passed": n_pass,
+        "pass_rate": round(n_pass / len(rows), 4),
+        "criterion": "status SUCCESS and solver-independent KKT "
+                     "certificate <= 1e-6 (stationarity, primal, "
+                     "complementarity); where a published/closed-form "
+                     "optimum exists, additionally relative objective "
+                     "gap <= 1e-6",
+        "provenance": "reproducible recipe families of the collection "
+                      "(CVXQP/AUG2D/DUAL structures + HS classics); the "
+                      "real QPS files are not downloadable in this "
+                      "offline environment — CVXQP instances at the "
+                      "collection's S/M sizes match its published optima",
+    }
+    print(json.dumps({"maros_full_summary": summary}))
+    if record:
+        from benchmarks.head_to_head import merge_results
+
+        merge_results("maros_full", {"rows": rows, "summary": summary})
+    return rows, summary
+
+
+# ---------------------------------------------------------------------------
 # QPS-file entry point: run the REAL Maros–Mészáros set (or any QPS/MPS
 # files) through the same harness.  The reference's runner needs an
 # external cvxbench checkout plus cvxpy to load the set
@@ -549,6 +685,10 @@ def _main(argv):
                     "by default, or real QPS files via --qps")
     ap.add_argument("--qps", nargs="+", metavar="PATH",
                     help="QPS/MPS files or directories to solve")
+    ap.add_argument("--full", action="store_true",
+                    help="run the >=50-instance maros_full suite")
+    ap.add_argument("--record", action="store_true",
+                    help="with --full: upsert results.json:maros_full")
     ap.add_argument("--abs-tol", type=float, default=1e-6)
     ap.add_argument("--rel-tol", type=float, default=1e-6)
     ap.add_argument("--max-iter", type=int, default=40000)
@@ -561,7 +701,10 @@ def _main(argv):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    if args.qps:
+    if args.full:
+        run_full(abs_tol=args.abs_tol, rel_tol=args.rel_tol,
+                 record=args.record)
+    elif args.qps:
         paths = []
         for item in args.qps:
             if os.path.isdir(item):
