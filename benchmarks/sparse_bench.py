@@ -141,6 +141,20 @@ def bench_lasso(m, n, density, reps=3):
 
 
 def bench_cone_lp(m0, n, density, reps=3):
+    """Sparse cone LP, three honest routes:
+
+      * auto (TPU default): ConeSolver auto-densifies TPU-resident
+        sparse inputs that fit the budget — TPUs have no gather
+        hardware, so the dense MXU route is what a user gets.
+      * keep/BCOO on the SAME device: per-DR-iteration cost, capped
+        iterations (~80 ms/iter measured on v5e — this row quantifies
+        WHY auto densifies; 20k iterations at 1e-6 would run ~25 min
+        and the tunnel kills long single executions).
+      * keep/BCOO f64 on host CPU: the route for matrices that only
+        fit HBM sparse, run to full convergence where BCOO is cheap.
+    """
+    import time as _time
+
     import scipy.sparse as sp
     import jax
 
@@ -156,22 +170,104 @@ def bench_cone_lp(m0, n, density, reps=3):
     b = A @ x0 + rng.random(m) + 0.1
     c = rng.standard_normal(n)
     Ky = [ConeConstraint(Cone.NON_NEG, range(m))]
-    st = SolverSettings(abs_tol=1e-6, rel_tol=1e-6, max_iter=20000)
-    s = ConeSolver(A, Ky=Ky, settings=st, dtype=np.float64,
-                   sparse_policy="keep")
+    rows = []
+    prob = f"sparse_lp_{m}x{n}_d{density}"
 
-    def run():
-        return s.solve(b, c, settings=st)
+    # Route 1: the default (auto) policy on the ambient backend.
+    st32 = SolverSettings(abs_tol=1e-5, rel_tol=1e-5, max_iter=20000)
+    s_auto = ConeSolver(A, Ky=Ky, settings=st32, dtype=np.float32)
 
-    wall, out = _warm_time(run, reps)
-    r = {"problem": f"sparse_lp_{m}x{n}_d{density}", "m": m, "n": n,
-         "density": density, "solver": "pogs_tpu_bcoo_hsde",
-         "warm_ms": round(wall * 1e3, 2), "status": int(out.status),
-         "iterations": int(out.final_iter),
-         "objective": round(float(out.optval), 6),
-         "backend": jax.default_backend(), "note": "f64 cg strategy"}
-    print(r)
-    return [r]
+    def run_auto():
+        return s_auto.solve(b.astype(np.float32), c.astype(np.float32),
+                            settings=st32)
+
+    wall, out = _warm_time(run_auto, reps)
+    rows.append({"problem": prob, "m": m, "n": n, "density": density,
+                 "solver": "pogs_tpu_auto",
+                 "warm_ms": round(wall * 1e3, 2), "status": int(out.status),
+                 "iterations": int(out.final_iter),
+                 "objective": round(float(out.optval), 6),
+                 "backend": jax.default_backend(),
+                 "note": "default policy (auto-densify on TPU), f32 1e-5"})
+
+    # Route 2: forced BCOO on the same backend — per-iteration cost only.
+    stk = SolverSettings(abs_tol=1e-5, rel_tol=1e-5, max_iter=100)
+    s_keep = ConeSolver(A, Ky=Ky, settings=stk, dtype=np.float32,
+                        sparse_policy="keep")
+    out = s_keep.solve(b.astype(np.float32), c.astype(np.float32),
+                       settings=stk)  # compile
+    t0 = _time.perf_counter()
+    out = s_keep.solve(b.astype(np.float32) * 1.00001,
+                       c.astype(np.float32), settings=stk)
+    per_iter = (_time.perf_counter() - t0) * 1e3 / max(int(out.final_iter), 1)
+    rows.append({"problem": prob, "m": m, "n": n, "density": density,
+                 "solver": "pogs_tpu_bcoo_hsde",
+                 "per_iter_ms": round(per_iter, 2),
+                 "iterations_capped_at": stk.max_iter,
+                 "status": int(out.status),
+                 "backend": jax.default_backend(),
+                 "note": "forced BCOO on-device: quantifies the gather "
+                         "penalty the auto policy avoids (not run to "
+                         "convergence; see per_iter_ms vs the auto row)"})
+
+    # Route 3: BCOO to convergence on host CPU (the HBM-oversized route).
+    # Runs in a SUBPROCESS: once the TPU client is initialized in this
+    # process, flipping jax_platforms does not re-route dispatch, and the
+    # 20k-iteration f64 BCOO program then runs (and dies) on the tunnel.
+    import json as _json
+    import subprocess as _subprocess
+
+    cmd = [sys.executable, os.path.abspath(__file__), "--cone-cpu-row",
+           str(m0), str(n), str(density)]
+    try:
+        p = _subprocess.run(cmd, capture_output=True, text=True,
+                            timeout=900, check=True)
+        rows.append(_json.loads(p.stdout.strip().splitlines()[-1]))
+    except Exception as exc:  # noqa: BLE001 - row-level degradation
+        print(f"cone cpu row skipped: {exc}")
+    for r in rows:
+        print(r)
+    return rows
+
+
+def _cone_cpu_row(m0, n, density):
+    """Subprocess worker for bench_cone_lp route 3 (CPU-pinned)."""
+    import json as _json
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import scipy.sparse as sp
+
+    from pogs_tpu.solver.cone import ConeSolver
+    from pogs_tpu.types import Cone, ConeConstraint, SolverSettings
+
+    rng = np.random.default_rng(2)
+    Araw = sp.random(m0, n, density=density, random_state=8, format="csr")
+    Araw.data[:] = rng.standard_normal(Araw.nnz)
+    A = sp.vstack([Araw, sp.eye(n), -sp.eye(n)]).tocsr()
+    m = A.shape[0]
+    x0 = rng.standard_normal(n)
+    b = A @ x0 + rng.random(m) + 0.1
+    c = rng.standard_normal(n)
+    Ky = [ConeConstraint(Cone.NON_NEG, range(m))]
+    st64 = SolverSettings(abs_tol=1e-6, rel_tol=1e-6, max_iter=20000)
+    s_cpu = ConeSolver(A, Ky=Ky, settings=st64, dtype=np.float64,
+                       sparse_policy="keep")
+
+    def run_cpu():
+        return s_cpu.solve(b, c, settings=st64)
+
+    wall, out = _warm_time(run_cpu, 3)
+    print(_json.dumps({
+        "problem": f"sparse_lp_{m}x{n}_d{density}", "m": m, "n": n,
+        "density": density, "solver": "pogs_tpu_bcoo_hsde",
+        "warm_ms": round(wall * 1e3, 2), "status": int(out.status),
+        "iterations": int(out.final_iter),
+        "objective": round(float(out.optval), 6), "backend": "cpu",
+        "note": "f64 cg strategy, BCOO kept (the route for matrices "
+                "that only fit HBM sparse)"}))
 
 
 def main():
@@ -200,4 +296,8 @@ def main():
 
 
 if __name__ == "__main__":
+    if len(sys.argv) >= 5 and sys.argv[1] == "--cone-cpu-row":
+        _cone_cpu_row(int(sys.argv[2]), int(sys.argv[3]),
+                      float(sys.argv[4]))
+        sys.exit(0)
     main()

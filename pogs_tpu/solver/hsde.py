@@ -528,28 +528,48 @@ def hsde_solve(
 
     polish_on = False
     polish_mode = None
+    is_sparse_op = bool(getattr(A, "is_sparse", False))
     if polish and P is None and getattr(Ky, "is_separable_only", False) \
             and m >= n:
         z_m, nn_m, np_m = Ky.separable_masks()
-        if m <= K_POLISH_MAX_M and n <= K_POLISH_MAX_N:
+        # A sparse operator can still afford the DENSE Cholesky burst as
+        # long as the densified m x n fits a modest budget: the polish
+        # matrix is a one-time todense() (e.g. 1400x300 f64 = 3.4 MB),
+        # and the exact Newton solves are what make bursts land —
+        # measured on a 1400x300 sparse LP, the Jacobi-PCG variant fails
+        # its acceptance test every burst (A'DA conditioning ~1e12 defeats
+        # a diagonal preconditioner) while the exact solve converges all
+        # residuals to ~1e-13 in one 10-step burst.
+        # Sharded sparse operators have no single-device BCOO to densify
+        # (and a replicated dense polish matrix would defeat the row
+        # sharding) — they take the matrix-free cg mode below.
+        dense_polish_ok = (not is_sparse_op) or (
+            hasattr(A, "M")
+            and m * n * jnp.dtype(dt).itemsize <= 256 * 2**20)
+        if dense_polish_ok and m <= K_POLISH_MAX_M and n <= K_POLISH_MAX_N:
             polish_mode = "chol"
             p_start, p_every, p_steps = (
                 K_POLISH_START, K_POLISH_EVERY, K_POLISH_IPM_STEPS)
-        elif m <= K_POLISH_XL_MAX_M and n <= K_POLISH_XL_MAX_N:
+        elif dense_polish_ok and m <= K_POLISH_XL_MAX_M \
+                and n <= K_POLISH_XL_MAX_N:
             polish_mode = "chol"  # same burst, sparser cadence
             p_start, p_every, p_steps = (
                 K_POLISH_XL_EVERY, K_POLISH_XL_EVERY, K_POLISH_XL_STEPS)
         elif (not z_m.any()) and m <= K_POLISH_CG_MAX_M \
                 and n <= K_POLISH_CG_MAX_N:
-            # Matrix-free CG variant; equality rows carry a ~1e8 barrier
-            # weight the Krylov solver cannot absorb, so Zero rows are
-            # Cholesky-only.
+            # Matrix-free CG variant — the last resort for problems whose
+            # dense form exceeds the polish budget; equality rows carry a
+            # ~1e8 barrier weight the Krylov solver cannot absorb, so
+            # Zero rows are Cholesky-only.
             polish_mode = "cg"
             p_start, p_every, p_steps = (
-                K_POLISH_CG_EVERY, K_POLISH_CG_EVERY, K_POLISH_CG_STEPS)
+                K_POLISH_CG_EVERY, K_POLISH_CG_EVERY,
+                K_POLISH_CG_STEPS)
+        p_cg_iters = K_POLISH_CG_ITERS
         A_raw = getattr(A, "A", A)
         if polish_mode is not None and (
-                isinstance(A_raw, (jax.Array, _host_np.ndarray))
+                is_sparse_op
+                or isinstance(A_raw, (jax.Array, _host_np.ndarray))
                 or hasattr(A_raw, "aval")):
             p_zero = jnp.asarray(z_m)
             p_ineq = jnp.asarray(nn_m | np_m)
@@ -557,7 +577,30 @@ def hsde_solve(
             # polish space; free (uncovered) rows keep +1 and weight 0.
             sgn_host = _host_np.where(np_m, -1.0, 1.0)
             p_sgn = jnp.asarray(sgn_host, dt)
-            Af = jnp.asarray(A_raw, dt) * p_sgn[:, None]
+            if is_sparse_op and polish_mode == "cg":
+                Af = None
+                _Af_op = A.scale(p_sgn, jnp.ones((n,), dt))
+                af_mv, af_rmv = _Af_op.mv, _Af_op.rmv
+                af_sq_rmv = _Af_op.sq_rmv  # Σᵢ Dᵢ aᵢⱼ² (sign² drops)
+            else:
+                if is_sparse_op:
+                    # One-time densification FOR THE POLISH ONLY (the DR
+                    # loop keeps its sparse matvecs); gated above on the
+                    # 256 MiB budget.
+                    A_dense = A.M.todense().astype(dt)
+                else:
+                    A_dense = jnp.asarray(A_raw, dt)
+                Af = A_dense * p_sgn[:, None]
+
+                def af_mv(v, Af=Af):
+                    return jnp.matmul(Af, v, precision=_PRECISION)
+
+                def af_rmv(v, Af=Af):
+                    return jnp.matmul(Af.T, v, precision=_PRECISION)
+
+                def af_sq_rmv(Dv, Af=Af):
+                    return jnp.einsum("i,ij,ij->j", Dv, Af, Af,
+                                      precision=_PRECISION)
             p_delta = jnp.asarray(
                 1e-7 if dt == jnp.float32 else 1e-13, dt)
             if polish_mode == "chol":
@@ -661,39 +704,28 @@ def hsde_solve(
                                     (Lm, True), rhs)
                         else:
                             # Matrix-free: Jacobi-PCG on A'DA + δI.  The
-                            # diagonal Σᵢ Dᵢ Afᵢⱼ² fuses into one A-pass.
-                            jac = jnp.einsum(
-                                "i,ij,ij->j", D, Af, Af,
-                                precision=_PRECISION) + p_delta
+                            # diagonal Σᵢ Dᵢ Afᵢⱼ² is one sq-A pass.
+                            jac = af_sq_rmv(D) + p_delta
                             inv_jac = 1.0 / jnp.maximum(jac, p_tiny)
 
                             def nmv(v):
-                                Av = jnp.matmul(Af, v,
-                                                precision=_PRECISION)
-                                return jnp.matmul(
-                                    Af.T, D * Av, precision=_PRECISION
-                                ) + p_delta * v
+                                return af_rmv(D * af_mv(v)) + p_delta * v
 
                             def solve_normal(rhs, dx0):
                                 return _pcg_psd(
                                     nmv, inv_jac, rhs, dx0,
                                     jnp.asarray(1e-10, dt),
-                                    K_POLISH_CG_ITERS)
-                        r_p = jnp.matmul(Af, x, precision=_PRECISION) \
-                            + s - bf
-                        r_d = jnp.matmul(Af.T, y, precision=_PRECISION) + c
+                                    p_cg_iters)
+                        r_p = af_mv(x) + s - bf
+                        r_d = af_rmv(y) + c
 
                         def newton(sigma_mu, dx0):
                             r_c = jnp.where(p_ineq,
                                             s * y - sigma_mu, 0.0)
                             rc_y = jnp.where(p_ineq, r_c / y_safe, 0.0)
-                            rhs = -r_d - jnp.matmul(
-                                Af.T, D * (r_p - rc_y),
-                                precision=_PRECISION)
+                            rhs = -r_d - af_rmv(D * (r_p - rc_y))
                             dx = solve_normal(rhs, dx0)
-                            dy = D * (jnp.matmul(Af, dx,
-                                                 precision=_PRECISION)
-                                      + r_p - rc_y)
+                            dy = D * (af_mv(dx) + r_p - rc_y)
                             ds = jnp.where(
                                 p_ineq, (-r_c - s * dy) / y_safe, 0.0)
                             return dx, dy, ds

@@ -165,3 +165,35 @@ def test_f32_cgls_noise_floor_regression(rng):
     dense_out = GraphFormSolver(A.toarray().astype(np.float32),
                                 dtype=jnp.float32).solve(f, g, settings=st)
     assert canon_obj(out.x) == pytest.approx(canon_obj(dense_out.x), rel=1e-2)
+
+
+def test_sparse_lp_tail_polish_reaches_tight_tolerance():
+    """Round-5 regression: sparse (BCOO-kept) LPs used to be excluded
+    from the IPM tail polish, so the DR tail crawled — 1e-6 was
+    unreached at 3000 iterations on this instance.  With the polish
+    densifying A for its Newton bursts only (256 MiB budget), the solve
+    must certify 1e-6 in bounded iterations and match the dense twin."""
+    import scipy.sparse as sp
+
+    from pogs_tpu.solver.cone import ConeSolver
+    from pogs_tpu.types import Cone, ConeConstraint, SolverSettings, Status
+
+    rng = np.random.default_rng(2)
+    Araw = sp.random(800, 300, density=0.02, random_state=8, format="csr")
+    Araw.data[:] = rng.standard_normal(Araw.nnz)
+    A = sp.vstack([Araw, sp.eye(300), -sp.eye(300)]).tocsr()
+    m = A.shape[0]
+    x0 = rng.standard_normal(300)
+    b = A @ x0 + rng.random(m) + 0.1
+    c = rng.standard_normal(300)
+    Ky = [ConeConstraint(Cone.NON_NEG, range(m))]
+    st = SolverSettings(abs_tol=1e-6, rel_tol=1e-6, max_iter=4000)
+    r_sp = ConeSolver(A, Ky=Ky, settings=st, dtype=np.float64,
+                      sparse_policy="keep").solve(b, c, settings=st)
+    assert r_sp.status == Status.SUCCESS
+    assert int(r_sp.final_iter) <= 3000
+    r_d = ConeSolver(A.toarray(), Ky=Ky, settings=st,
+                     dtype=np.float64).solve(b, c, settings=st)
+    assert r_d.status == Status.SUCCESS
+    assert float(r_sp.optval) == pytest.approx(float(r_d.optval),
+                                               rel=1e-5, abs=1e-5)
