@@ -72,10 +72,12 @@ def bench_lasso(m, n, density, reps=3):
 
     def row(solver_name, wall, x, iters=None, note=""):
         obj = _canonical_lasso_obj(A, b, lam, x)
+        on_device = solver_name.startswith("pogs_tpu") and \
+            "native" not in solver_name
         r = {"problem": f"sparse_lasso_{m}x{n}_d{density}", "m": m, "n": n,
              "density": density, "solver": solver_name,
              "warm_ms": round(wall * 1e3, 2), "objective": round(obj, 6),
-             "backend": backend if solver_name.startswith("pogs_tpu") else "host",
+             "backend": backend if on_device else "host",
              "note": note}
         if iters is not None:
             r["iterations"] = int(iters)
