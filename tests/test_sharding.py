@@ -409,6 +409,22 @@ def test_init_distributed_surfaces_failure(monkeypatch):
     assert n == len(jax.devices())
 
 
+def test_loop_body_collective_budget(mesh8):
+    """Round-5 regression: the ADMM body once carried 12 scalar
+    all-reduces per iteration (one per m-part norm/dot — each pure ICI
+    latency on a real slice).  After stacking the same-point reductions
+    the steady-state budget is 2 vector + 1 small all-reduce OP; the
+    exact-residual branch may add a couple more.  The ICI scaling model
+    (benchmarks/scaling_bench.py) prices exactly these counts."""
+    from benchmarks.scaling_bench import measure_loop_collective_shapes
+
+    counts = measure_loop_collective_shapes()
+    assert counts["main_vector"] <= 2, counts
+    assert counts["main_small"] <= 1, counts
+    assert (counts["exact_branch_vector"]
+            + counts["exact_branch_small"]) <= 3, counts
+
+
 def test_loop_body_has_no_collective_permutes(mesh8):
     """Split (x, y) loop state regression: packing z = [x; y] and slicing
     it inside the loop forced GSPMD to insert per-iteration
