@@ -37,9 +37,15 @@ Prints one JSON line.  Peak bandwidth per chip:
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+# `python benchmarks/roofline_bench.py` puts benchmarks/ (not the repo
+# root) on sys.path; make pogs_tpu importable either way.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 M, N = 10000, 5000
 # --xl: the round-2 HBM-wall size.  40000x10000 f32 OOMed before the
