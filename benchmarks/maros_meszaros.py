@@ -697,9 +697,18 @@ def _main(argv):
                          "overrides the JAX_PLATFORMS env var, so the "
                          "env alone does not stick)")
     args = ap.parse_args(argv)
-    if args.cpu or os.environ.get("JAX_PLATFORMS") == "cpu":
-        import jax
+    import jax
 
+    # Every harness path requests dtype=float64; without x64 JAX silently
+    # truncates the returned x to f32 (solve_with_pogs_tpu's host-side IPM
+    # computes x in f64, but `jnp.asarray(x64, f32)` then throws those
+    # digits away — on the ill-conditioned CVXQP3 tail the truncation
+    # alone moves the independent KKT certificate from ~1e-14 to ~1e-4).
+    # Enabled here in the CLI entry, not at module import: tests import
+    # this module and must not have their process-global JAX config
+    # flipped underneath them.
+    jax.config.update("jax_enable_x64", True)
+    if args.cpu or os.environ.get("JAX_PLATFORMS") == "cpu":
         jax.config.update("jax_platforms", "cpu")
     if args.full:
         run_full(abs_tol=args.abs_tol, rel_tol=args.rel_tol,
